@@ -7,6 +7,13 @@ compacting after every filter (reference pattern), points live in padded
 struct-of-arrays buffers with a validity mask; filters only update the mask
 and compaction happens once at egress (SURVEY.md §7 design stance).
 
+Layout is **channel-major planar**: positions are float32[3, capacity]
+(rows x/y/z), multi-channel attributes are [C, capacity], scalars are
+[capacity]. The point axis lives in the TPU lane (minor) dimension; kernels
+scalar-expand over channels. A point-major (N, 3) layout wastes 125 of 128
+lanes per tile and its (3,)-vector broadcasts hit a pathological ~1000x-slow
+path on this backend — see PERF_NOTES.md (measured, banned).
+
 Capacities are bucketed (powers of two) so recompiles are bounded: a stream
 of scans with jittering point counts hits at most ``log2`` distinct programs.
 
@@ -65,12 +72,12 @@ ATTR_HOST_DTYPES = {
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ScanBuffer:
-    """Padded struct-of-arrays point buffer.
+    """Padded channel-major struct-of-arrays point buffer.
 
     Attributes:
-        positions: float32[capacity, 3].
+        positions: float32[3, capacity] — rows are x, y, z.
         mask: bool[capacity]; True for live points.
-        attributes: dict of per-point arrays, each [capacity] or [capacity, C].
+        attributes: dict of per-point arrays, each [capacity] or [C, capacity].
     """
 
     positions: jax.Array
@@ -79,7 +86,19 @@ class ScanBuffer:
 
     @property
     def capacity(self) -> int:
-        return self.positions.shape[0]
+        return self.positions.shape[-1]
+
+    @property
+    def x(self) -> jax.Array:
+        return self.positions[0]
+
+    @property
+    def y(self) -> jax.Array:
+        return self.positions[1]
+
+    @property
+    def z(self) -> jax.Array:
+        return self.positions[2]
 
     def replace(self, **kwargs) -> "ScanBuffer":
         return dataclasses.replace(self, **kwargs)
@@ -103,6 +122,11 @@ def valid_count(buf: ScanBuffer) -> jax.Array:
     return jnp.sum(buf.mask.astype(jnp.int32))
 
 
+def _to_channel_major(arr: np.ndarray) -> np.ndarray:
+    """Host (N, C) -> (C, N); 1-D passes through."""
+    return arr.T if arr.ndim == 2 else arr
+
+
 def from_soa(
     soa: Dict[str, np.ndarray],
     capacity: Optional[int] = None,
@@ -110,9 +134,11 @@ def from_soa(
 ) -> Tuple[ScanBuffer, dict]:
     """Host SoA dict -> padded device ScanBuffer (the single H2D hop per scan).
 
-    Returns ``(buffer, metadata)`` where metadata gains ``time_base`` when a
-    time attribute is present. RGB uint8 (N,3) is normalized to [0,1] float,
-    matching the ingest at reference pointcloud_preprocessor.py:428-431.
+    Host arrays use the point-major (N,)/(N, C) convention of the codec;
+    they are transposed to channel-major here. RGB uint8 (N, 3) is
+    normalized to [0, 1] float, matching the ingest at reference
+    pointcloud_preprocessor.py:428-431. Returns ``(buffer, metadata)`` where
+    metadata gains ``time_base`` when a time attribute is present.
     """
     metadata = dict(metadata or {})
     positions = np.asarray(soa["positions"], dtype=np.float32)
@@ -121,8 +147,8 @@ def from_soa(
     if n > cap:
         raise ValueError(f"{n} points exceed capacity {cap}")
 
-    pos_pad = np.zeros((cap, 3), dtype=np.float32)
-    pos_pad[:n] = positions
+    pos_pad = np.zeros((3, cap), dtype=np.float32)
+    pos_pad[:, :n] = positions.T
     mask = np.zeros(cap, dtype=bool)
     mask[:n] = True
 
@@ -137,10 +163,11 @@ def from_soa(
             base = float(arr.min()) if n else 0.0
             metadata["time_base"] = base
             arr = (arr - base).astype(np.float32)
+        arr = _to_channel_major(arr)
         dev_dtype = ATTR_DEVICE_DTYPES.get(name, jnp.float32)
-        pad_shape = (cap,) + arr.shape[1:]
+        pad_shape = arr.shape[:-1] + (cap,)
         pad = np.zeros(pad_shape, dtype=np.dtype(dev_dtype))
-        pad[:n] = arr
+        pad[..., :n] = arr
         attrs[name] = jnp.asarray(pad)
 
     buf = ScanBuffer(
@@ -152,17 +179,20 @@ def from_soa(
 def to_soa(buf: ScanBuffer, metadata: Optional[dict] = None) -> Dict[str, np.ndarray]:
     """Device ScanBuffer -> compacted host SoA dict (the single D2H hop).
 
-    Invalid rows are dropped; attribute dtypes are restored to their host
-    conventions (ring uint16, return_type uint8, time float64 rebuilt from
-    ``metadata['time_base']``).
+    Invalid rows are dropped; host arrays are point-major (N,)/(N, C) with
+    dtypes restored to their host conventions (ring uint16, return_type
+    uint8, time float64 rebuilt from ``metadata['time_base']``).
     """
     metadata = metadata or {}
     mask = np.asarray(buf.mask)
     out: Dict[str, np.ndarray] = {
-        "positions": np.asarray(buf.positions)[mask]
+        "positions": np.asarray(buf.positions)[:, mask].T
     }
     for name, arr in buf.attributes.items():
-        host = np.asarray(arr)[mask]
+        host = np.asarray(arr)
+        host = host[..., mask]
+        if host.ndim == 2:
+            host = host.T
         if name == "time":
             host = host.astype(np.float64) + float(metadata.get("time_base", 0.0))
         else:
@@ -181,7 +211,7 @@ def pad_to_capacity(buf: ScanBuffer, capacity: int) -> ScanBuffer:
     extra = capacity - cap
 
     def _pad(x):
-        pad_widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
         return jnp.pad(x, pad_widths)
 
     return ScanBuffer(

@@ -1,0 +1,18 @@
+"""Filter/op library: pure ``(ScanBuffer, params) -> ScanBuffer`` kernels.
+
+TPU-native replacements for the Open3D C++/CUDA kernel inventory in
+SURVEY.md §2b. Every op is mask-only (no compaction) and jit-safe; numeric
+params are traced so live reconfigure never recompiles.
+"""
+from .compact import compact, compact_to, compaction_order
+from .crop import crop_box
+from .dedup import duplicate_mask, remove_duplicates
+from .finite import mask_non_finite
+from .ground import remove_ground, segment_plane
+from .knn import knn_exact
+from .linalg import quaternion_to_matrix, se3_matrix, smallest_eigenvector_sym3x3
+from .normals import estimate_normals
+from .outliers import remove_statistical_outliers
+from .transform import rotate_rows, se3_transform, transform_points
+from .voxel import voxel_downsample
+from .window import morton_codes, window_mean_knn_dist, window_normal_stats

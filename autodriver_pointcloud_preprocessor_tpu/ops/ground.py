@@ -1,0 +1,215 @@
+"""RANSAC plane segmentation (ground removal).
+
+Replaces Open3D's sequential ``segment_plane`` RANSAC kernel (reference:
+pointcloud_preprocessor.py:533-543) with the batched TPU formulation from
+SURVEY.md §7.4c: all hypotheses are sampled at once with seeded
+``jax.random``, every hypothesis scores every point in one fused pass,
+argmax picks the winner, and a final least-squares refit on the winning
+inliers reproduces Open3D's terminal refinement.
+
+The point-vs-plane distances are computed as three (N,1)x(1,H) lane
+broadcasts (x*nx_h + y*ny_h + z*nz_h + d_h), NOT an (N,3)@(3,H) matmul —
+K=3 matmuls hit a measured pathological path on this backend
+(PERF_NOTES.md).
+
+The ``probability`` early-exit parameter is accepted for API parity but is
+advisory only — with all iterations batched there is nothing to exit early
+(documented deviation; statistical parity is tested on inlier counts,
+SURVEY.md §7 hard part 4).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.scan import ScanBuffer, valid_count
+from .compact import compaction_order
+
+__all__ = ["segment_plane", "remove_ground"]
+
+
+def _fit_planes_batched(sx, sy, sz) -> Tuple[jax.Array, jax.Array]:
+    """Least-squares plane per hypothesis from planar samples float32[H, n].
+
+    Returns (normals float32[3, H] unit, d float32[H]) with n.p + d = 0.
+    Covariances are scalar-expanded 3x3 symmetric entries; the smallest
+    eigenvector comes from the closed-form trigonometric solve (same math
+    as ops/linalg.py, expressed over [H]-vectors of matrix entries).
+    """
+    cx = jnp.mean(sx, axis=1)
+    cy = jnp.mean(sy, axis=1)
+    cz = jnp.mean(sz, axis=1)
+    dx = sx - cx[:, None]
+    dy = sy - cy[:, None]
+    dz = sz - cz[:, None]
+    a00 = jnp.sum(dx * dx, axis=1)
+    a11 = jnp.sum(dy * dy, axis=1)
+    a22 = jnp.sum(dz * dz, axis=1)
+    a01 = jnp.sum(dx * dy, axis=1)
+    a02 = jnp.sum(dx * dz, axis=1)
+    a12 = jnp.sum(dy * dz, axis=1)
+    nx, ny, nz = _smallest_eigvec_entries(a00, a11, a22, a01, a02, a12)
+    d = -(nx * cx + ny * cy + nz * cz)
+    return jnp.stack([nx, ny, nz]), d
+
+
+def _smallest_eigvec_entries(a00, a11, a22, a01, a02, a12):
+    """Closed-form smallest eigenvector of symmetric 3x3 given entry vectors.
+
+    Vector-of-entries variant of ops/linalg.smallest_eigenvector_sym3x3,
+    avoiding any [..., 3, 3] minor-dim layout (PERF_NOTES.md).
+    """
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    d0, d1, d2 = a00 - q, a11 - q, a22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.where(p > 0, p, 1.0)
+    b00, b11, b22 = d0 / safe_p, d1 / safe_p, d2 / safe_p
+    b01, b02, b12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+    detb = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # rows of (A - lam I); eigenvector = largest cross product of row pairs
+    r0x, r0y, r0z = a00 - lam, a01, a02
+    r1x, r1y, r1z = a01, a11 - lam, a12
+    r2x, r2y, r2z = a02, a12, a22 - lam
+
+    def cross(ax, ay, az, bx, by, bz):
+        return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+    c01 = cross(r0x, r0y, r0z, r1x, r1y, r1z)
+    c02 = cross(r0x, r0y, r0z, r2x, r2y, r2z)
+    c12 = cross(r1x, r1y, r1z, r2x, r2y, r2z)
+
+    def norm2(c):
+        return c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+
+    n01, n02, n12 = norm2(c01), norm2(c02), norm2(c12)
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = (~use01) & (n02 >= n12)
+
+    def pick(i):
+        return jnp.where(use01, c01[i], jnp.where(use02, c02[i], c12[i]))
+
+    vx, vy, vz = pick(0), pick(1), pick(2)
+    nrm = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 0.0))
+    ok = (nrm > 1e-20) & (p > 0)
+    safe = jnp.where(nrm > 0, nrm, 1.0)
+    vx = jnp.where(ok, vx / safe, 0.0)
+    vy = jnp.where(ok, vy / safe, 0.0)
+    vz = jnp.where(ok, vz / safe, 1.0)
+    return vx, vy, vz
+
+
+def _plane_distances(x, y, z, nx, ny, nz, d):
+    """|x_i*nx_h + ...| via (N,1)x(1,H) lane broadcasts -> float32[N, H]."""
+    return jnp.abs(
+        x[:, None] * nx[None, :]
+        + y[:, None] * ny[None, :]
+        + z[:, None] * nz[None, :]
+        + d[None, :]
+    )
+
+
+def segment_plane(
+    buf: ScanBuffer,
+    key: jax.Array,
+    distance_threshold: jax.Array | float = 0.2,
+    ransac_n: int = 5,
+    num_iterations: int = 100,
+    probability: float = 0.99,  # advisory; see module docstring
+) -> Tuple[jax.Array, jax.Array]:
+    """Find the dominant plane among live points.
+
+    Args:
+        buf: scan buffer.
+        key: jax PRNG key (reproducible, unlike Open3D's hidden RNG).
+        distance_threshold: inlier distance (traced; no recompile on change).
+        ransac_n: points per hypothesis (static).
+        num_iterations: hypothesis count (static; all run as one batch).
+    Returns:
+        (plane float32[4] = [nx, ny, nz, d] with unit normal,
+         inlier_mask bool[capacity] over live points).
+    """
+    del probability
+    x, yy, zz = buf.x, buf.y, buf.z
+    count = valid_count(buf)
+    order = compaction_order(buf.mask)  # live points first
+
+    # Sample with replacement among the live prefix. (Open3D samples without
+    # replacement; with 10^4-10^5 live points the collision probability per
+    # hypothesis is negligible and a degenerate draw simply scores 0 votes.)
+    u = jax.random.uniform(key, (num_iterations, ransac_n))
+    safe_count = jnp.maximum(count, 1)
+    draw = jnp.minimum((u * safe_count).astype(jnp.int32), safe_count - 1)
+    sample_idx = order[draw]  # [H, n] indices into the buffer
+    normals, ds = _fit_planes_batched(
+        x[sample_idx], yy[sample_idx], zz[sample_idx]
+    )
+
+    dist = _plane_distances(x, yy, zz, normals[0], normals[1], normals[2], ds)
+    thresh = jnp.asarray(distance_threshold, x.dtype)
+    votes = jnp.sum(
+        (dist <= thresh) & buf.mask[:, None], axis=0, dtype=jnp.int32
+    )  # [H]
+    best = jnp.argmax(votes)
+
+    # Terminal refinement: least-squares refit on the winning inliers,
+    # then recompute the inlier set (Open3D does the same final polish).
+    best_inliers = (dist[:, best] <= thresh) & buf.mask
+    w = best_inliers.astype(x.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    cx = jnp.sum(x * w) / wsum
+    cy = jnp.sum(yy * w) / wsum
+    cz = jnp.sum(zz * w) / wsum
+    dx, dy, dz = (x - cx) * w, (yy - cy) * w, (zz - cz) * w
+    # one factor of w per centered term is enough for 0/1 weights
+    nx, ny, nz = _smallest_eigvec_entries(
+        jnp.sum(dx * (x - cx)),
+        jnp.sum(dy * (yy - cy)),
+        jnp.sum(dz * (zz - cz)),
+        jnp.sum(dx * (yy - cy)),
+        jnp.sum(dx * (zz - cz)),
+        jnp.sum(dy * (zz - cz)),
+    )
+    d_ref = -(nx * cx + ny * cy + nz * cz)
+    final_dist = jnp.abs(x * nx + yy * ny + zz * nz + d_ref)
+    inlier_mask = (final_dist <= thresh) & buf.mask
+
+    refined_votes = jnp.sum(inlier_mask, dtype=jnp.int32)
+    use_refined = refined_votes >= votes[best]
+    plane = jnp.where(
+        use_refined,
+        jnp.stack([nx, ny, nz, d_ref]),
+        jnp.stack([normals[0][best], normals[1][best], normals[2][best], ds[best]]),
+    )
+    inlier_mask = jnp.where(use_refined, inlier_mask, best_inliers)
+    return plane, inlier_mask
+
+
+def remove_ground(
+    buf: ScanBuffer,
+    key: jax.Array,
+    distance_threshold: jax.Array | float = 0.2,
+    ransac_n: int = 5,
+    num_iterations: int = 100,
+    probability: float = 0.99,
+) -> Tuple[ScanBuffer, jax.Array]:
+    """Mask out the dominant plane's inliers (keep the complement).
+
+    Matches the node semantics at reference pointcloud_preprocessor.py:542
+    (``select_by_index(inliers, invert=True)``). Returns (buffer, plane).
+    """
+    plane, inliers = segment_plane(
+        buf, key, distance_threshold, ransac_n, num_iterations, probability
+    )
+    return buf.with_mask(jnp.logical_not(inliers)), plane

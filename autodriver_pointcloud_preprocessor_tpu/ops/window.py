@@ -1,0 +1,307 @@
+"""Space-filling-curve window neighborhoods: the large-N path for kNN ops.
+
+Brute-force kNN costs ~1.5 s at 131k points on this backend (top_k over the
+full database per query tile) and grid-bucket gathers are just as dead
+(29 ms per (131k, 32) random gather) — see PERF_NOTES.md. This module uses
+the TPU-shaped alternative:
+
+1. sort points along a 3-D Hilbert curve (one ~0.2 ms sort; the curve
+   encode is ~100 elementwise int ops, effectively free),
+2. reshape the sorted stream into (num_blocks, B) tiles with B in the lane
+   dimension,
+3. take each block's candidate set as its own + R rolled neighbor blocks —
+   pure block shifts, no gathers,
+4. run masked distance reductions / small top_k over the (2R+1)*B-wide
+   candidate window.
+
+Hilbert order (vs Morton/Z-order) has no discontinuity jumps: curve-adjacent
+points are always spatially adjacent, so a window of W sorted points is a
+compact spatial neighborhood. Still *approximate*: a window can miss true
+neighbors. Two properties make this safe:
+
+* window distance estimates only ever OVERESTIMATE (missed neighbors can
+  only push the k-th distance up), so a min-merge across ``passes`` runs
+  with jittered quantization origins is monotonically closer to exact;
+* consumers (outlier stats, normal PCA) are statistical, not exact — and
+  ops accept ``method='exact'`` (ops/knn.py) when exactness matters
+  (SURVEY.md §7 hard part 1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "hilbert_codes",
+    "morton_codes",
+    "window_mean_knn_dist",
+    "window_normal_stats",
+]
+
+_BITS = 10  # per-axis quantization bits (30-bit curve index)
+
+
+def _spread_bits_10(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of int32 v so consecutive bits are 3 apart."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _quantize_axes(positions, mask, origin_shift: float):
+    """Per-axis 10-bit quantization over the live bounding box.
+
+    ``origin_shift`` (in cells) jitters the grid between passes so curve
+    boundaries land differently.
+    """
+    big = jnp.float32(3.4e38)
+    out = []
+    for c in range(3):
+        v = positions[c]
+        lo = jnp.min(jnp.where(mask, v, big))
+        hi = jnp.max(jnp.where(mask, v, -big))
+        scale = 1023.0 / jnp.maximum(hi - lo, 1e-12)
+        q = jnp.clip((v - lo) * scale + origin_shift, 0.0, 1023.0).astype(jnp.int32)
+        out.append(q)
+    return out
+
+
+def morton_codes(
+    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0
+) -> jax.Array:
+    """30-bit Morton (Z-order) code per point, invalid rows pushed last."""
+    qx, qy, qz = _quantize_axes(positions, mask, origin_shift)
+    code = (
+        _spread_bits_10(qx)
+        | (_spread_bits_10(qy) << 1)
+        | (_spread_bits_10(qz) << 2)
+    )
+    return jnp.where(mask, code, jnp.int32(0x7FFFFFFF))
+
+
+def hilbert_codes(
+    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0
+) -> jax.Array:
+    """30-bit Hilbert-curve index per point, invalid rows pushed last.
+
+    Skilling's transpose algorithm, fully unrolled and branch-free over
+    [N] int32 rows (data-dependent branches become ``where`` selects).
+    """
+    X = _quantize_axes(positions, mask, origin_shift)
+
+    # --- Skilling: coordinates -> transposed Hilbert index ---
+    M = 1 << (_BITS - 1)
+    Q = M
+    while Q > 1:
+        P = jnp.int32(Q - 1)
+        for i in range(3):
+            hit = (X[i] & Q) != 0
+            # if bit set: invert low bits of X[0]; else swap low bits X[0]<->X[i]
+            t = (X[0] ^ X[i]) & P
+            x0_inv = X[0] ^ P
+            x0_swp = X[0] ^ t
+            xi_swp = X[i] ^ t
+            X[0] = jnp.where(hit, x0_inv, x0_swp)
+            if i != 0:
+                X[i] = jnp.where(hit, X[i], xi_swp)
+        Q >>= 1
+
+    # Gray encode
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        cond = (X[2] & Q) != 0
+        t = jnp.where(cond, t ^ jnp.int32(Q - 1), t)
+        Q >>= 1
+    for i in range(3):
+        X[i] = X[i] ^ t
+
+    # interleave transposed bits: X[0] carries the most significant bit
+    code = (
+        (_spread_bits_10(X[0]) << 2)
+        | (_spread_bits_10(X[1]) << 1)
+        | _spread_bits_10(X[2])
+    )
+    return jnp.where(mask, code, jnp.int32(0x7FFFFFFF))
+
+
+def _window(blocks: jax.Array, num_rolls: int) -> jax.Array:
+    """(NB, B) -> (NB, (2R+1)*B) candidate window via block rolls."""
+    parts = [
+        jnp.roll(blocks, -r, axis=0) for r in range(-num_rolls, num_rolls + 1)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+#: per-pass axis permutations: distinct curve orientations so a neighborhood
+#: split across two curve passages in one orientation is contiguous in another
+_PASS_PERMS = ((0, 1, 2), (1, 2, 0), (2, 0, 1), (0, 2, 1))
+
+
+def _sorted_window_arrays(positions, mask, block_size, window_blocks, pass_idx):
+    perm = _PASS_PERMS[pass_idx % len(_PASS_PERMS)]
+    permuted = jnp.stack([positions[perm[0]], positions[perm[1]], positions[perm[2]]])
+    shift = 0.0 if pass_idx < len(_PASS_PERMS) else 8.0 * pass_idx
+    order = jnp.argsort(hilbert_codes(permuted, mask, shift))
+    sx = positions[0][order].reshape(-1, block_size)
+    sy = positions[1][order].reshape(-1, block_size)
+    sz = positions[2][order].reshape(-1, block_size)
+    sv = mask[order].reshape(-1, block_size)
+    wx = _window(sx, window_blocks)
+    wy = _window(sy, window_blocks)
+    wz = _window(sz, window_blocks)
+    wv = _window(sv, window_blocks)
+    return order, (sx, sy, sz, sv), (wx, wy, wz, wv)
+
+
+def _map_chunks(fn, num_blocks, chunk_blocks):
+    num_chunks = max(num_blocks // chunk_blocks, 1)
+    return jax.lax.map(fn, jnp.arange(num_chunks))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_size", "window_blocks", "chunk_blocks", "passes"),
+)
+def window_mean_knn_dist(
+    positions: jax.Array,
+    mask: jax.Array,
+    k: int,
+    block_size: int = 128,
+    window_blocks: int = 2,
+    chunk_blocks: int = 64,
+    passes: int = 2,
+) -> jax.Array:
+    """Mean distance to the k nearest window candidates (self included).
+
+    Returns float32[N] in original buffer order; masked-out rows get 0.
+    Backs statistical outlier removal (reference :514-519 semantics).
+    Estimates are exact-or-overestimates; ``passes`` jittered runs are
+    min-merged (see module docstring).
+    """
+    n = positions.shape[-1]
+    block_size = min(block_size, n)
+
+    def one_pass(pass_idx):
+        order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
+            positions, mask, block_size, window_blocks, pass_idx
+        )
+        nb = sx.shape[0]
+        cb = min(chunk_blocks, nb)
+        kk = min(k, wx.shape[1])
+
+        def chunk_fn(ci):
+            s = ci * cb
+            qx = jax.lax.dynamic_slice_in_dim(sx, s, cb)
+            qy = jax.lax.dynamic_slice_in_dim(sy, s, cb)
+            qz = jax.lax.dynamic_slice_in_dim(sz, s, cb)
+            cx = jax.lax.dynamic_slice_in_dim(wx, s, cb)
+            cy = jax.lax.dynamic_slice_in_dim(wy, s, cb)
+            cz = jax.lax.dynamic_slice_in_dim(wz, s, cb)
+            cv = jax.lax.dynamic_slice_in_dim(wv, s, cb)
+            d = (
+                (qx[:, :, None] - cx[:, None, :]) ** 2
+                + (qy[:, :, None] - cy[:, None, :]) ** 2
+                + (qz[:, :, None] - cz[:, None, :]) ** 2
+            )
+            d = jnp.where(cv[:, None, :], d, jnp.inf)
+            neg_top, _ = jax.lax.top_k(-d, kk)  # (cb, B, k)
+            top = -neg_top
+            finite = jnp.isfinite(top)
+            cnt = jnp.maximum(jnp.sum(finite, axis=-1), 1)
+            return jnp.sum(jnp.where(finite, jnp.sqrt(top), 0.0), axis=-1) / cnt
+
+        mean_sorted = _map_chunks(chunk_fn, nb, cb).reshape(-1)
+        return jnp.zeros(n, jnp.float32).at[order].set(mean_sorted)
+
+    best = one_pass(0)
+    for p in range(1, passes):
+        best = jnp.minimum(best, one_pass(p))
+    return jnp.where(mask, best, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "window_blocks", "chunk_blocks", "passes"),
+)
+def window_normal_stats(
+    positions: jax.Array,
+    mask: jax.Array,
+    radius: jax.Array | float,
+    block_size: int = 128,
+    window_blocks: int = 2,
+    chunk_blocks: int = 64,
+    passes: int = 2,
+) -> Tuple[jax.Array, jax.Array]:
+    """In-radius covariance entries over the curve window, per point.
+
+    Returns ``(cov_entries float32[6, N], count float32[N])`` in original
+    buffer order, where entries are (a00, a11, a22, a01, a02, a12) of the
+    centered covariance over in-radius candidates (self included). Across
+    ``passes`` jittered runs, each point keeps the pass that found MORE
+    in-radius neighbors. Backs normal estimation; using *all* in-radius
+    candidates rather than only the max_nn nearest is a documented
+    quality-positive deviation from Open3D's hybrid search.
+    """
+    n = positions.shape[-1]
+    block_size = min(block_size, n)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    def one_pass(pass_idx):
+        order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
+            positions, mask, block_size, window_blocks, pass_idx
+        )
+        nb = sx.shape[0]
+        cb = min(chunk_blocks, nb)
+
+        def chunk_fn(ci):
+            s = ci * cb
+            qx = jax.lax.dynamic_slice_in_dim(sx, s, cb)
+            qy = jax.lax.dynamic_slice_in_dim(sy, s, cb)
+            qz = jax.lax.dynamic_slice_in_dim(sz, s, cb)
+            cx = jax.lax.dynamic_slice_in_dim(wx, s, cb)
+            cy = jax.lax.dynamic_slice_in_dim(wy, s, cb)
+            cz = jax.lax.dynamic_slice_in_dim(wz, s, cb)
+            cv = jax.lax.dynamic_slice_in_dim(wv, s, cb)
+            dx = cx[:, None, :] - qx[:, :, None]
+            dy = cy[:, None, :] - qy[:, :, None]
+            dz = cz[:, None, :] - qz[:, :, None]
+            d2 = dx * dx + dy * dy + dz * dz
+            w = (cv[:, None, :] & (d2 <= r2)).astype(jnp.float32)
+            cnt = jnp.sum(w, axis=-1)
+            denom = jnp.maximum(cnt, 1.0)
+            mx = jnp.sum(w * cx[:, None, :], axis=-1) / denom
+            my = jnp.sum(w * cy[:, None, :], axis=-1) / denom
+            mz = jnp.sum(w * cz[:, None, :], axis=-1) / denom
+            ex = cx[:, None, :] - mx[:, :, None]
+            ey = cy[:, None, :] - my[:, :, None]
+            ez = cz[:, None, :] - mz[:, :, None]
+            a00 = jnp.sum(w * ex * ex, axis=-1)
+            a11 = jnp.sum(w * ey * ey, axis=-1)
+            a22 = jnp.sum(w * ez * ez, axis=-1)
+            a01 = jnp.sum(w * ex * ey, axis=-1)
+            a02 = jnp.sum(w * ex * ez, axis=-1)
+            a12 = jnp.sum(w * ey * ez, axis=-1)
+            return jnp.stack([a00, a11, a22, a01, a02, a12]), cnt
+
+        entries, counts = _map_chunks(chunk_fn, nb, cb)
+        entries = jnp.moveaxis(entries, 1, 0).reshape(6, -1)
+        counts = counts.reshape(-1)
+        out_entries = jnp.zeros((6, n), jnp.float32).at[:, order].set(entries)
+        out_counts = jnp.zeros(n, jnp.float32).at[order].set(counts)
+        return out_entries, out_counts
+
+    entries, counts = one_pass(0)
+    for p in range(1, passes):
+        e2, c2 = one_pass(p)
+        better = c2 > counts
+        entries = jnp.where(better[None, :], e2, entries)
+        counts = jnp.where(better, c2, counts)
+    return entries, jnp.where(mask, counts, 0.0)

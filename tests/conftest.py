@@ -25,3 +25,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def dev_pos(buf) -> np.ndarray:
+    """Device planar positions (3, cap) -> host point-major (cap, 3)."""
+    return np.asarray(buf.positions).T
+
+
+def dev_attr(buf, name) -> np.ndarray:
+    """Device attribute -> host point-major layout."""
+    arr = np.asarray(buf.attributes[name])
+    return arr.T if arr.ndim == 2 else arr

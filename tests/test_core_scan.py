@@ -49,7 +49,7 @@ def test_rgb_normalization(rng):
         "rgb": rng.integers(0, 256, (n, 3)).astype(np.uint8),
     }
     buf, _ = from_soa(soa)
-    rgb = np.asarray(buf.attributes["rgb"])[:n]
+    rgb = np.asarray(buf.attributes["rgb"]).T[:n]
     np.testing.assert_allclose(rgb, soa["rgb"] / 255.0, atol=1e-7)
 
 
@@ -58,7 +58,7 @@ def test_scanbuffer_is_pytree():
     doubled = jax.tree_util.tree_map(lambda x: x * 2, buf)
     assert isinstance(doubled, ScanBuffer)
     np.testing.assert_array_equal(
-        np.asarray(doubled.positions)[:4], 2 * np.ones((4, 3))
+        np.asarray(doubled.positions).T[:4], 2 * np.ones((4, 3))
     )
 
 
@@ -82,4 +82,4 @@ def test_jit_through_scanbuffer():
 
     buf, _ = from_soa({"positions": np.zeros((8, 3), np.float32)})
     out = shift(buf)
-    np.testing.assert_array_equal(np.asarray(out.positions)[:8], np.ones((8, 3)))
+    np.testing.assert_array_equal(np.asarray(out.positions).T[:8], np.ones((8, 3)))

@@ -1,0 +1,124 @@
+"""Voxel downsample + RANSAC ground segmentation tests vs numpy oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autodriver_pointcloud_preprocessor_tpu.core import from_soa, to_soa, valid_count
+from autodriver_pointcloud_preprocessor_tpu.ops import (
+    remove_ground,
+    segment_plane,
+    voxel_downsample,
+)
+
+
+def _buf(points, **attrs):
+    soa = {"positions": np.asarray(points, np.float32), **attrs}
+    return from_soa(soa)
+
+
+def _voxel_oracle(pts, size):
+    """Mean position per occupied voxel (floor quantization)."""
+    keys = np.floor(pts / size).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    sums = np.zeros((uniq.shape[0], 3))
+    counts = np.zeros(uniq.shape[0])
+    np.add.at(sums, inv, pts)
+    np.add.at(counts, inv, 1)
+    return sums / counts[:, None]
+
+
+def test_voxel_downsample_oracle(rng):
+    pts = rng.uniform(-5, 5, size=(900, 3)).astype(np.float32)
+    buf, _ = _buf(pts)
+    out = voxel_downsample(buf, 0.7)
+    got = np.asarray(out.positions).T[np.asarray(out.mask)]
+    expected = _voxel_oracle(pts.astype(np.float64), 0.7)
+    assert got.shape[0] == expected.shape[0]
+    # match as sets: sort both by lexicographic order
+    got_sorted = got[np.lexsort(got.T)]
+    exp_sorted = expected[np.lexsort(expected.T)]
+    np.testing.assert_allclose(got_sorted, exp_sorted, atol=1e-4)
+
+
+def test_voxel_attributes(rng):
+    # two voxels, known means; int attr takes first point's value
+    pts = np.array(
+        [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [5.1, 5.1, 5.1]], np.float32
+    )
+    intensity = np.array([10.0, 20.0, 99.0], np.float32)
+    ring = np.array([3, 4, 7], np.uint16)
+    buf, _ = _buf(pts, intensity=intensity, ring=ring)
+    out = voxel_downsample(buf, 1.0)
+    mask = np.asarray(out.mask)
+    got_pos = np.asarray(out.positions).T[mask]
+    got_int = np.asarray(out.attributes["intensity"])[mask]
+    got_ring = np.asarray(out.attributes["ring"])[mask]
+    o = np.argsort(got_pos[:, 0])
+    np.testing.assert_allclose(got_pos[o][0], [0.15, 0.15, 0.15], atol=1e-6)
+    np.testing.assert_allclose(got_int[o], [15.0, 99.0])
+    np.testing.assert_array_equal(got_ring[o], [3, 7])
+
+
+def test_voxel_respects_mask(rng):
+    pts = np.vstack([np.zeros((5, 3)), np.full((5, 3), 9.0)]).astype(np.float32)
+    buf, _ = _buf(pts)
+    buf = buf.with_mask(jnp.arange(buf.capacity) < 5)  # kill the far cluster
+    out = voxel_downsample(buf, 1.0)
+    assert int(valid_count(out)) == 1
+    np.testing.assert_allclose(
+        np.asarray(out.positions).T[np.asarray(out.mask)][0], np.zeros(3), atol=1e-6
+    )
+
+
+def test_voxel_empty():
+    buf, _ = _buf(np.zeros((4, 3), np.float32))
+    buf = buf.with_mask(jnp.zeros(buf.capacity, bool))
+    out = voxel_downsample(buf, 0.5)
+    assert int(valid_count(out)) == 0
+
+
+def _ground_scene(rng, n_ground=800, n_obj=200, noise=0.02):
+    gx = rng.uniform(-10, 10, n_ground)
+    gy = rng.uniform(-10, 10, n_ground)
+    gz = rng.normal(0, noise, n_ground)
+    ground = np.stack([gx, gy, gz], axis=1)
+    obj = rng.uniform(-2, 2, size=(n_obj, 3)) + np.array([0, 0, 3.0])
+    return np.vstack([ground, obj]).astype(np.float32), n_ground
+
+
+def test_segment_plane_finds_ground(rng):
+    pts, n_ground = _ground_scene(rng)
+    buf, _ = _buf(pts)
+    plane, inliers = segment_plane(
+        buf, jax.random.PRNGKey(0), distance_threshold=0.1, ransac_n=3,
+        num_iterations=64,
+    )
+    plane = np.asarray(plane)
+    inliers = np.asarray(inliers)
+    # normal is ±z
+    assert abs(plane[2]) > 0.99
+    # all true ground points are inliers, no object points are
+    assert inliers[:n_ground].mean() > 0.99
+    assert inliers[n_ground : pts.shape[0]].mean() < 0.01
+
+
+def test_remove_ground_keeps_complement(rng):
+    pts, n_ground = _ground_scene(rng)
+    buf, _ = _buf(pts)
+    out, plane = remove_ground(
+        buf, jax.random.PRNGKey(1), distance_threshold=0.1, ransac_n=5,
+        num_iterations=64,
+    )
+    mask = np.asarray(out.mask)[: pts.shape[0]]
+    assert mask[:n_ground].mean() < 0.01
+    assert mask[n_ground:].mean() > 0.99
+
+
+def test_segment_plane_reproducible(rng):
+    pts, _ = _ground_scene(rng)
+    buf, _ = _buf(pts)
+    key = jax.random.PRNGKey(42)
+    p1, m1 = segment_plane(buf, key, 0.1, 3, 32)
+    p2, m2 = segment_plane(buf, key, 0.1, 3, 32)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

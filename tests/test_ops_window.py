@@ -1,0 +1,101 @@
+"""Morton-window neighborhood tests: statistical agreement with exact kNN."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autodriver_pointcloud_preprocessor_tpu.core import from_soa, valid_count
+from autodriver_pointcloud_preprocessor_tpu.ops import (
+    estimate_normals,
+    morton_codes,
+    remove_statistical_outliers,
+    window_mean_knn_dist,
+)
+from autodriver_pointcloud_preprocessor_tpu.ops.knn import knn_exact
+
+
+def _buf(points):
+    return from_soa({"positions": np.asarray(points, np.float32)})
+
+
+def test_morton_codes_locality(rng):
+    # nearby points get nearby codes: sorted order clusters spatially
+    pts = rng.uniform(0, 10, size=(512, 3)).astype(np.float32)
+    buf, _ = _buf(pts)
+    codes = np.asarray(morton_codes(buf.positions, buf.mask))[:512]
+    order = np.argsort(codes)
+    sorted_pts = pts[order]
+    step = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1)
+    rand_step = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    assert np.median(step) < 0.5 * np.median(rand_step)
+
+
+def test_morton_invalid_rows_last():
+    pts = np.ones((4, 3), np.float32)
+    buf, _ = _buf(pts)
+    codes = np.asarray(morton_codes(buf.positions, buf.mask))
+    assert (codes[4:] == 0x7FFFFFFF).all()
+    assert (codes[:4] < 0x7FFFFFFF).all()
+
+
+def test_window_mean_knn_vs_exact(rng):
+    # surface-like cloud (LiDAR-ish): window stats track exact kNN closely
+    xy = rng.uniform(-5, 5, size=(2000, 2)).astype(np.float32)
+    z = 0.05 * np.sin(xy[:, 0]) + rng.normal(0, 0.01, 2000)
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    buf, _ = _buf(pts)
+    k = 10
+    approx = np.asarray(
+        window_mean_knn_dist(buf.positions, buf.mask, k=k)
+    )[:2000]
+    d_exact, _ = knn_exact(buf.positions, buf.mask, k=k)
+    d_exact = np.sqrt(np.asarray(d_exact))[:2000]
+    exact_mean = d_exact.mean(axis=1)
+    rel_err = np.abs(approx - exact_mean) / np.maximum(exact_mean, 1e-9)
+    # window estimates are exact-or-overestimates (missed neighbors only
+    # push distances up); slack covers the cancellation noise of the
+    # brute-force |q|^2+|p|^2-2qp oracle formula
+    assert (approx >= exact_mean * (1 - 1e-3) - 1e-5).all()
+    # approximate: majority exact, tail bounded (consumers are statistical
+    # filters; see test_outliers_window_vs_exact_agreement for the
+    # application-level gate)
+    assert (rel_err < 1e-5).mean() > 0.55
+    assert np.median(rel_err) < 1e-4
+    assert np.percentile(rel_err, 99) < 0.6
+
+
+def test_outliers_window_vs_exact_agreement(rng):
+    cluster = rng.normal(0, 0.5, size=(3000, 3)).astype(np.float32)
+    outliers = rng.uniform(8, 12, size=(30, 3)).astype(np.float32)
+    pts = np.vstack([cluster, outliers])
+    buf, _ = _buf(pts)
+    exact = remove_statistical_outliers(buf, 16, 2.0, method="exact")
+    window = remove_statistical_outliers(buf, 16, 2.0, method="window")
+    me = np.asarray(exact.mask)[: pts.shape[0]]
+    mw = np.asarray(window.mask)[: pts.shape[0]]
+    assert (me == mw).mean() > 0.98
+    # injected outliers are removed by both
+    assert mw[3000:].sum() == 0
+
+
+def test_normals_window_vs_exact_agreement(rng):
+    xy = rng.uniform(-2, 2, size=(3000, 2)).astype(np.float32)
+    z = 0.5 * xy[:, 0] - 0.25 * xy[:, 1]
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    buf, _ = _buf(pts)
+    exact = estimate_normals(buf, search_radius=0.5, max_nn=24, method="exact")
+    window = estimate_normals(buf, search_radius=0.5, max_nn=24, method="window")
+    ne = np.asarray(exact.attributes["normals"]).T[:3000]
+    nw = np.asarray(window.attributes["normals"]).T[:3000]
+    dots = np.abs(np.sum(ne * nw, axis=1))
+    assert (dots > 0.999).mean() > 0.98
+
+
+def test_window_respects_mask(rng):
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    buf, _ = _buf(pts)
+    dead = np.asarray(buf.mask).copy()
+    dead[250:] = False
+    md = window_mean_knn_dist(buf.positions, jnp.asarray(dead), k=5)
+    md = np.asarray(md)
+    assert (md[250:] == 0).all()
+    assert (md[:250] > 0).all()
