@@ -8,7 +8,19 @@ program per pipeline configuration, and host I/O only at the edges.
 
 __version__ = "0.1.0"
 
-from . import core
+from . import core, io, models, ops, runtime
 from .core import ScanBuffer
+from .models import Preprocessor
+from .runtime import PointcloudPreprocessorNode
 
-__all__ = ["core", "ScanBuffer", "__version__"]
+__all__ = [
+    "core",
+    "io",
+    "models",
+    "ops",
+    "runtime",
+    "ScanBuffer",
+    "Preprocessor",
+    "PointcloudPreprocessorNode",
+    "__version__",
+]

@@ -1,0 +1,11 @@
+"""Pipeline models: fused preprocessing programs + the standalone engine."""
+from .pipeline import (
+    STAGE_TIMING_KEYS,
+    PipelineParams,
+    PipelineSettings,
+    build_pipeline,
+    params_from_config,
+    settings_from_config,
+    stage_functions,
+)
+from .preprocessor import Preprocessor

@@ -1,0 +1,288 @@
+"""The preprocessing pipeline: one fused XLA program per configuration.
+
+TPU-native replacement for the reference's stage-by-stage ``preprocess``
+loop (reference: pointcloud_preprocessor.py:447-544). Stage ORDER is kept
+exactly (SURVEY.md §3.2): duplicates -> non-finite -> [offset/lidar] ->
+[tf] -> [offset/robot] -> crop -> voxel -> statistical outliers -> normals
+-> ground RANSAC. Unlike the reference (a Python loop dispatching one
+Open3D kernel per stage, with a device sync each), the whole enabled-stage
+chain traces into ONE jit program per (capacity bucket, attribute set,
+static settings), so a scan costs a single dispatch.
+
+Parameters are split by compilation impact:
+* ``PipelineSettings`` — static booleans/ints that shape the graph
+  (stage toggles, neighbor counts). Changing them recompiles, like the
+  reference's stage toggles conceptually do.
+* ``PipelineParams`` — traced pytree (ROI bounds, voxel size, thresholds,
+  matrices). Live reconfigure of any of these NEVER recompiles
+  (SURVEY.md §7 hard part 3).
+
+Offset semantics follow the reference's *intent* (:481-490): offset applied
+in the lidar frame when ``offset_pointcloud_frame`` is '' or 'lidar', in
+the robot frame when it is 'robot' — NOT the reference's substring quirk
+(``'' in 'robot'`` is True, double-applying the offset; SURVEY.md §7
+quirks-not-to-replicate).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scan import ScanBuffer
+from .. import ops
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineSettings:
+    """Static, graph-shaping configuration (hashable; keys the jit cache)."""
+
+    remove_duplicates: bool = True
+    remove_nans: bool = True
+    remove_infs: bool = True
+    apply_offset_lidar: bool = False
+    apply_tf: bool = False
+    apply_offset_robot: bool = False
+    crop_to_roi: bool = True
+    voxel_downsample: bool = True  # reference gates on voxel_size > 0 (:509)
+    remove_statistical_outliers: bool = False
+    nb_neighbors: int = 20
+    estimate_normals: bool = True
+    max_neighbors: int = 30
+    remove_ground: bool = False
+    ransac_n: int = 5
+    num_iterations: int = 100
+    knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PipelineParams:
+    """Traced numeric parameters — reconfigure without recompiling."""
+
+    roi_min: jax.Array
+    roi_max: jax.Array
+    crop_invert: jax.Array
+    voxel_size: jax.Array
+    std_ratio: jax.Array
+    search_radius: jax.Array
+    distance_threshold: jax.Array
+    offset_matrix: jax.Array
+    tf_matrix: jax.Array
+
+    @staticmethod
+    def make(
+        roi_min=(-60.0, -60.0, -20.0),
+        roi_max=(60.0, 60.0, 20.0),
+        crop_invert=False,
+        voxel_size=0.01,
+        std_ratio=2.0,
+        search_radius=0.1,
+        distance_threshold=0.2,
+        offset_matrix=None,
+        tf_matrix=None,
+    ) -> "PipelineParams":
+        eye = jnp.eye(4, dtype=jnp.float32)
+        return PipelineParams(
+            roi_min=jnp.asarray(roi_min, jnp.float32),
+            roi_max=jnp.asarray(roi_max, jnp.float32),
+            crop_invert=jnp.asarray(crop_invert, bool),
+            voxel_size=jnp.asarray(voxel_size, jnp.float32),
+            std_ratio=jnp.asarray(std_ratio, jnp.float32),
+            search_radius=jnp.asarray(search_radius, jnp.float32),
+            distance_threshold=jnp.asarray(distance_threshold, jnp.float32),
+            offset_matrix=eye if offset_matrix is None else jnp.asarray(offset_matrix, jnp.float32),
+            tf_matrix=eye if tf_matrix is None else jnp.asarray(tf_matrix, jnp.float32),
+        )
+
+
+#: Stage names in reference order, with the reference's timing keys
+#: (pointcloud_preprocessor.py stage timers; see core/timing.py).
+STAGE_TIMING_KEYS = {
+    "remove_duplicates": "remove_duplicate_points",
+    "non_finite": "remove_nan_points",
+    "transform": "transform",
+    "crop": "crop",
+    "voxel": "voxel_downsampling",
+    "outliers": "remove_statistical_outliers",
+    "normals": "normal_estimation",
+    "ground": "ground_segmentation",
+}
+
+
+def stage_functions(settings: PipelineSettings):
+    """Ordered list of (stage_name, fn(buf, params, key) -> (buf, aux)).
+
+    Exposed separately so the profiling path can time stages individually
+    with the same code the fused path traces.
+    """
+    stages = []
+
+    if settings.remove_duplicates:
+        stages.append(
+            ("remove_duplicates", lambda b, p, k: (ops.remove_duplicates(b), None))
+        )
+
+    if settings.remove_nans or settings.remove_infs:
+        rn, ri = settings.remove_nans, settings.remove_infs
+        stages.append(
+            ("non_finite", lambda b, p, k: (ops.mask_non_finite(b, rn, ri), None))
+        )
+
+    if settings.apply_offset_lidar or settings.apply_tf:
+        def xform(b, p, k):
+            if settings.apply_offset_lidar:
+                b = ops.se3_transform(b, p.offset_matrix)
+            if settings.apply_tf:
+                b = ops.se3_transform(b, p.tf_matrix)
+                if settings.apply_offset_robot:
+                    b = ops.se3_transform(b, p.offset_matrix)
+            return b, None
+
+        stages.append(("transform", xform))
+
+    if settings.crop_to_roi:
+        stages.append(
+            (
+                "crop",
+                lambda b, p, k: (
+                    ops.crop_box(b, p.roi_min, p.roi_max, p.crop_invert),
+                    None,
+                ),
+            )
+        )
+
+    if settings.voxel_downsample:
+        stages.append(
+            ("voxel", lambda b, p, k: (ops.voxel_downsample(b, p.voxel_size), None))
+        )
+
+    if settings.remove_statistical_outliers:
+        stages.append(
+            (
+                "outliers",
+                lambda b, p, k: (
+                    ops.remove_statistical_outliers(
+                        b,
+                        settings.nb_neighbors,
+                        p.std_ratio,
+                        method=settings.knn_method,
+                    ),
+                    None,
+                ),
+            )
+        )
+
+    if settings.estimate_normals:
+        stages.append(
+            (
+                "normals",
+                lambda b, p, k: (
+                    ops.estimate_normals(
+                        b,
+                        p.search_radius,
+                        settings.max_neighbors,
+                        method=settings.knn_method,
+                    ),
+                    None,
+                ),
+            )
+        )
+
+    if settings.remove_ground:
+        def ground(b, p, k):
+            b, plane = ops.remove_ground(
+                b,
+                k,
+                p.distance_threshold,
+                settings.ransac_n,
+                settings.num_iterations,
+            )
+            return b, plane
+
+        stages.append(("ground", ground))
+
+    return stages
+
+
+@functools.lru_cache(maxsize=64)
+def build_pipeline(settings: PipelineSettings):
+    """Compile-once fused pipeline for a static settings tuple.
+
+    Returns ``fn(buf, params, key) -> (buf, plane)`` (plane is [nan]*4 when
+    ground removal is disabled). One XLA program per (settings, buffer
+    structure) — the lru_cache holds the jitted callable; XLA's own cache
+    holds per-shape executables.
+    """
+    stages = stage_functions(settings)
+
+    def run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
+        plane = jnp.full((4,), jnp.nan, jnp.float32)
+        for _, fn in stages:
+            buf, aux = fn(buf, params, key)
+            if aux is not None:
+                plane = aux
+        return buf, plane
+
+    return jax.jit(run)
+
+
+def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
+    """Map reference-named parameters -> static settings.
+
+    ``cfg`` uses the reference's flat dotted names (SURVEY.md §2a param
+    table); missing keys take the reference defaults
+    (pointcloud_preprocessor.py:129-199).
+    """
+    offset = np.asarray(
+        cfg.get("offset_pointcloud_matrix", np.eye(4).ravel().tolist()),
+        dtype=np.float32,
+    ).reshape(4, 4)
+    has_offset = not np.allclose(offset, np.eye(4))  # reference :284-287
+    frame = str(cfg.get("offset_pointcloud_frame", "")).lower()
+    has_tf = bool(cfg.get("_has_tf", False))
+    return PipelineSettings(
+        remove_duplicates=bool(cfg.get("remove_duplicates", True)),
+        remove_nans=bool(cfg.get("remove_nans", True)),
+        remove_infs=bool(cfg.get("remove_infs", True)),
+        apply_offset_lidar=has_offset and frame in ("", "lidar"),
+        apply_tf=has_tf,
+        apply_offset_robot=has_offset and frame == "robot",
+        crop_to_roi=bool(cfg.get("crop_to_roi", True)),
+        voxel_downsample=float(cfg.get("voxel_size", 0.01)) > 0.0,
+        remove_statistical_outliers=bool(
+            cfg.get("remove_statistical_outliers", False)
+        ),
+        nb_neighbors=int(cfg.get("remove_statistical_outliers.nb_neighbors", 20)),
+        estimate_normals=bool(cfg.get("estimate_normals", True)),
+        max_neighbors=int(cfg.get("estimate_normals.max_neighbors", 30)),
+        remove_ground=bool(cfg.get("remove_ground", False)),
+        ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
+        num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
+        knn_method=str(cfg.get("knn_method", "auto")),
+    )
+
+
+def params_from_config(
+    cfg: Dict[str, object], tf_matrix: Optional[np.ndarray] = None
+) -> PipelineParams:
+    """Map reference-named parameters -> traced params pytree."""
+    offset = np.asarray(
+        cfg.get("offset_pointcloud_matrix", np.eye(4).ravel().tolist()),
+        dtype=np.float32,
+    ).reshape(4, 4)
+    return PipelineParams.make(
+        roi_min=cfg.get("roi_min", (-60.0, -60.0, -20.0)),
+        roi_max=cfg.get("roi_max", (60.0, 60.0, 20.0)),
+        crop_invert=bool(cfg.get("crop_to_roi.invert", False)),
+        voxel_size=float(cfg.get("voxel_size", 0.01)),
+        std_ratio=float(cfg.get("remove_statistical_outliers.std_ratio", 2.0)),
+        search_radius=float(cfg.get("estimate_normals.search_radius", 0.1)),
+        distance_threshold=float(cfg.get("remove_ground.distance_threshold", 0.2)),
+        offset_matrix=offset,
+        tf_matrix=tf_matrix,
+    )

@@ -1,0 +1,127 @@
+"""Fused pipeline + Preprocessor engine tests."""
+import jax
+import numpy as np
+
+from autodriver_pointcloud_preprocessor_tpu.models import (
+    PipelineParams,
+    PipelineSettings,
+    Preprocessor,
+    build_pipeline,
+    settings_from_config,
+    stage_functions,
+)
+from autodriver_pointcloud_preprocessor_tpu.core import from_soa, valid_count
+
+
+def _scene(rng, n_ground=2000, n_obj=500):
+    ground = np.column_stack(
+        [rng.uniform(-10, 10, (2, n_ground)).T, rng.normal(0, 0.02, n_ground)]
+    )
+    obj = rng.normal([0, 0, 2.0], 0.4, (n_obj, 3))
+    pts = np.vstack([ground, obj]).astype(np.float32)
+    return pts
+
+
+def test_settings_from_config_defaults():
+    s = settings_from_config({})
+    assert s.remove_duplicates and s.remove_nans and s.remove_infs
+    assert s.crop_to_roi and s.voxel_downsample
+    assert not s.remove_statistical_outliers and not s.remove_ground
+    assert s.estimate_normals and s.max_neighbors == 30
+    assert not s.apply_offset_lidar  # identity offset -> disabled (:284-287)
+
+
+def test_settings_offset_frames():
+    offset = np.eye(4); offset[0, 3] = 1.0
+    cfg = {"offset_pointcloud_matrix": offset.ravel().tolist()}
+    s = settings_from_config(cfg)
+    assert s.apply_offset_lidar and not s.apply_offset_robot
+    cfg["offset_pointcloud_frame"] = "robot"
+    cfg["_has_tf"] = True
+    s = settings_from_config(cfg)
+    assert not s.apply_offset_lidar and s.apply_offset_robot and s.apply_tf
+
+
+def test_stage_order_matches_reference():
+    s = PipelineSettings(
+        remove_statistical_outliers=True, remove_ground=True,
+        apply_tf=True,
+    )
+    names = [n for n, _ in stage_functions(s)]
+    assert names == [
+        "remove_duplicates", "non_finite", "transform", "crop", "voxel",
+        "outliers", "normals", "ground",
+    ]
+
+
+def test_fused_pipeline_runs(rng):
+    pts = _scene(rng)
+    pts[::101] = np.nan
+    buf, _ = from_soa({"positions": pts})
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=10,
+        remove_ground=True, num_iterations=32, ransac_n=3,
+        estimate_normals=True, max_neighbors=12,
+    )
+    fn = build_pipeline(settings)
+    params = PipelineParams.make(voxel_size=0.2, distance_threshold=0.08)
+    out, plane = fn(buf, params, jax.random.PRNGKey(0))
+    n = int(valid_count(out))
+    assert 0 < n < pts.shape[0]
+    assert abs(float(plane[2])) > 0.99  # found the ground plane
+    assert "normals" in out.attributes
+
+
+def test_build_pipeline_cached():
+    s1 = PipelineSettings()
+    s2 = PipelineSettings()
+    assert build_pipeline(s1) is build_pipeline(s2)
+    s3 = PipelineSettings(remove_ground=True)
+    assert build_pipeline(s3) is not build_pipeline(s1)
+
+
+def test_preprocessor_engine_roundtrip(rng):
+    pts = _scene(rng)
+    engine = Preprocessor({"voxel_size": 0.3, "estimate_normals": True,
+                           "remove_ground": True})
+    out, meta = engine.process_soa({"positions": pts})
+    assert out["positions"].shape[0] < pts.shape[0]
+    assert meta["has_normals"]
+    assert out["normals"].shape == out["positions"].shape
+    assert meta["ground_plane_estimate"] is not None
+    assert "preprocessing_time" in engine.processing_times
+    assert "tensor_transfer" in engine.processing_times
+
+
+def test_preprocessor_reconfigure_numeric_no_recompile(rng):
+    pts = _scene(rng, 500, 100)
+    engine = Preprocessor({"voxel_size": 0.2, "estimate_normals": False})
+    engine.process_soa({"positions": pts})
+    fn_before = build_pipeline(engine.settings)
+    engine.update_config({"voxel_size": 0.4, "roi_min": [-5.0, -5.0, -5.0]})
+    engine.process_soa({"positions": pts})
+    assert build_pipeline(engine.settings) is fn_before  # same program
+
+
+def test_preprocessor_profile_mode_stage_keys(rng):
+    pts = _scene(rng, 500, 100)
+    engine = Preprocessor(
+        {"voxel_size": 0.2, "estimate_normals": True, "remove_ground": True},
+        profile=True,
+    )
+    engine.process_soa({"positions": pts})
+    for key in ("remove_duplicate_points", "remove_nan_points", "crop",
+                "voxel_downsampling", "normal_estimation",
+                "ground_segmentation", "preprocessing_time"):
+        assert key in engine.processing_times, key
+
+
+def test_preprocessor_tf_applied(rng):
+    pts = np.zeros((10, 3), np.float32)
+    engine = Preprocessor({"voxel_size": 0.0, "estimate_normals": False,
+                           "remove_duplicates": False, "crop_to_roi": False})
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, 3] = [1.0, 2.0, 3.0]
+    engine.set_tf_matrix(tf)
+    out, _ = engine.process_soa({"positions": pts})
+    np.testing.assert_allclose(out["positions"], np.tile([1, 2, 3], (10, 1)), atol=1e-6)

@@ -1,0 +1,215 @@
+"""Node layer tests: topics, params, reconfigure, TF, header semantics.
+
+Parity targets cited from reference pointcloud_preprocessor.py (SURVEY §3).
+"""
+import numpy as np
+import pytest
+
+from autodriver_pointcloud_preprocessor_tpu.core import (
+    Header,
+    PointFieldType,
+    Time,
+    build_pointfields,
+    read_points,
+)
+from autodriver_pointcloud_preprocessor_tpu.core.msg import (
+    make_pointcloud2,
+    structured_dtype_from_fields,
+)
+from autodriver_pointcloud_preprocessor_tpu.runtime import (
+    Parameter,
+    PointcloudPreprocessorNode,
+    TopicBus,
+)
+from autodriver_pointcloud_preprocessor_tpu.runtime.tf import TransformBuffer
+
+
+def _velodyne_msg(n=512, frame="velodyne", seed=0):
+    rng = np.random.default_rng(seed)
+    fields, step = build_pointfields(
+        ["x", "y", "z", "intensity", "ring"],
+        [PointFieldType.FLOAT32] * 4 + [PointFieldType.UINT16],
+    )
+    arr = np.zeros(n, dtype=structured_dtype_from_fields(fields, step))
+    arr["x"], arr["y"], arr["z"] = rng.normal(0, 5, (3, n)).astype(np.float32)
+    arr["intensity"] = rng.uniform(0, 255, n).astype(np.float32)
+    arr["ring"] = rng.integers(0, 16, n).astype(np.uint16)
+    return make_pointcloud2(arr, fields, header=Header(Time(10, 0), frame))
+
+
+def _make_node(bus=None, **overrides):
+    overrides.setdefault("voxel_size", 0.0)
+    overrides.setdefault("estimate_normals", False)
+    bus = bus or TopicBus()
+    node = PointcloudPreprocessorNode(bus=bus, overrides=overrides)
+    outputs = []
+    bus.create_subscription(node.output_topic, outputs.append)
+    return node, bus, outputs
+
+
+def test_end_to_end_publish():
+    node, bus, outputs = _make_node()
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg())
+    assert len(outputs) == 1
+    out = read_points(outputs[0])
+    assert out.shape[0] > 0
+    assert {"x", "y", "z", "intensity", "ring"} <= set(out.dtype.names)
+    assert node.frame_count == 1
+    assert "total_callback_time" in node.processing_times
+
+
+def test_zero_subscriber_short_circuit():
+    # reference :645: no subscribers -> skip all work
+    bus = TopicBus()
+    node = PointcloudPreprocessorNode(
+        bus=bus, overrides={"voxel_size": 0.0, "estimate_normals": False}
+    )
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg())
+    assert node.frame_count == 0
+
+
+def test_empty_cloud_skipped():
+    node, bus, outputs = _make_node()
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg(n=0))
+    assert outputs == []
+    assert node.frame_count == 0
+
+
+def test_missing_xyz_rejected():
+    node, bus, outputs = _make_node()
+    fields, step = build_pointfields(["a", "b"], [PointFieldType.FLOAT32] * 2)
+    arr = np.zeros(5, dtype=structured_dtype_from_fields(fields, step))
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(make_pointcloud2(arr, fields))
+    assert outputs == []
+
+
+def test_normals_appended_to_schema():
+    node, bus, outputs = _make_node(estimate_normals=True)
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg())
+    out = read_points(outputs[0])
+    assert {"normal_x", "normal_y", "normal_z"} <= set(out.dtype.names)
+
+
+def test_tf_transform_and_header_frame_override():
+    node, bus, outputs = _make_node(robot_frame="base_link")
+    # install velodyne -> base_link transform
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, 3] = [10.0, 0.0, 0.0]
+    node.tf_buffer.set_transform("base_link", "velodyne", matrix=tf)
+    msg = _velodyne_msg()
+    in_pts = read_points(msg)
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(msg)
+    out = read_points(outputs[0])
+    # frame overridden (reference :633-634) and positions shifted
+    assert outputs[0].header.frame_id == "base_link"
+    np.testing.assert_allclose(np.sort(out["x"]), np.sort(in_pts["x"] + 10.0), atol=1e-4)
+
+
+def test_tf_missing_passthrough():
+    # TF lookup failure -> scan passes through untransformed (:720-728)
+    node, bus, outputs = _make_node(robot_frame="base_link")
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg())
+    assert len(outputs) == 1
+    assert outputs[0].header.frame_id == "velodyne"
+
+
+def test_reconfigure_roi_rejects_bad_length():
+    node, _, _ = _make_node()
+    ns = node.parameter_namespace
+    results = node.set_parameters([Parameter(f"{ns}roi_min", [1.0, 2.0])])
+    assert not results[0].successful
+    assert "length 3" in results[0].reason
+    results = node.set_parameters([Parameter(f"{ns}roi_min", [-1.0, -1.0, -1.0])])
+    assert results[0].successful
+
+
+def test_reconfigure_unknown_param_rejected():
+    node, _, _ = _make_node()
+    results = node.set_parameters([Parameter("not_a_param", 1)])
+    assert not results[0].successful
+
+
+def test_reconfigure_topics_rewires():
+    node, bus, outputs = _make_node()
+    ns = node.parameter_namespace
+    node.set_parameters([Parameter(f"{ns}input_topic", "/other/points")])
+    new_outputs = []
+    bus.create_subscription(node.output_topic, new_outputs.append)
+    bus.create_publisher("/other/points").publish(_velodyne_msg())
+    assert len(new_outputs) == 1
+
+
+def test_reconfigure_voxel_size_live():
+    node, bus, outputs = _make_node()
+    ns = node.parameter_namespace
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg())
+    n_before = read_points(outputs[-1]).shape[0]
+    node.set_parameters([Parameter(f"{ns}voxel_size", 2.0)])
+    pub.publish(_velodyne_msg())
+    n_after = read_points(outputs[-1]).shape[0]
+    assert n_after < n_before  # coarse voxels shrink the cloud
+
+
+def test_parameter_namespace_prefixing():
+    bus = TopicBus()
+    node = PointcloudPreprocessorNode(
+        bus=bus,
+        parameter_namespace="front_lidar",
+        overrides={"voxel_size": 0.0, "estimate_normals": False},
+    )
+    assert node.params.has("input_topic")
+    assert node.params.names()[0].startswith("front_lidar.")
+    results = node.set_parameters(
+        [Parameter("front_lidar.voxel_size", 0.5)]
+    )
+    assert results[0].successful
+
+
+def test_override_header_latest_stamp():
+    node, bus, outputs = _make_node(override_header=True)
+    pub = bus.create_publisher(node.input_topic)
+    msg = _velodyne_msg()
+    pub.publish(msg)
+    out_stamp = outputs[0].header.stamp.to_float()
+    assert out_stamp > msg.header.stamp.to_float()  # 'latest' override (:636-639)
+
+
+def test_dead_params_accepted():
+    # ground_plane/use_height declared-but-unused (reference :184-185)
+    node, _, _ = _make_node()
+    ns = node.parameter_namespace
+    results = node.set_parameters(
+        [Parameter(f"{ns}ground_plane", [0.0, 0.0, 1.0, 0.0]),
+         Parameter(f"{ns}use_height", False)]
+    )
+    assert all(r.successful for r in results)
+
+
+def test_transform_buffer_chain_and_errors():
+    tfb = TransformBuffer()
+    a_from_b = np.eye(4, dtype=np.float32); a_from_b[0, 3] = 1
+    b_from_c = np.eye(4, dtype=np.float32); b_from_c[1, 3] = 2
+    tfb.set_transform("a", "b", matrix=a_from_b)
+    tfb.set_transform("b", "c", matrix=b_from_c)
+    m = tfb.lookup_transform("a", "c")
+    np.testing.assert_allclose(m[:3, 3], [1, 2, 0], atol=1e-6)
+    # inverse direction
+    m_inv = tfb.lookup_transform("c", "a")
+    np.testing.assert_allclose(m_inv @ m, np.eye(4), atol=1e-5)
+    from autodriver_pointcloud_preprocessor_tpu.runtime.tf import (
+        ConnectivityException,
+        LookupException,
+    )
+    with pytest.raises(LookupException):
+        tfb.lookup_transform("a", "nope")
+    tfb.set_transform("x", "y", matrix=np.eye(4, dtype=np.float32))
+    with pytest.raises(ConnectivityException):
+        tfb.lookup_transform("a", "y")
