@@ -4,6 +4,7 @@ from .pipeline import (
     PipelineParams,
     PipelineSettings,
     build_pipeline,
+    pipeline_runner,
     params_from_config,
     settings_from_config,
     stage_functions,

@@ -209,15 +209,8 @@ def stage_functions(settings: PipelineSettings):
     return stages
 
 
-@functools.lru_cache(maxsize=64)
-def build_pipeline(settings: PipelineSettings):
-    """Compile-once fused pipeline for a static settings tuple.
-
-    Returns ``fn(buf, params, key) -> (buf, plane)`` (plane is [nan]*4 when
-    ground removal is disabled). One XLA program per (settings, buffer
-    structure) — the lru_cache holds the jitted callable; XLA's own cache
-    holds per-shape executables.
-    """
+def pipeline_runner(settings: PipelineSettings):
+    """The un-jitted pipeline body: fn(buf, params, key) -> (buf, plane)."""
     stages = stage_functions(settings)
 
     def run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
@@ -228,7 +221,19 @@ def build_pipeline(settings: PipelineSettings):
                 plane = aux
         return buf, plane
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def build_pipeline(settings: PipelineSettings):
+    """Compile-once fused pipeline for a static settings tuple.
+
+    Returns ``fn(buf, params, key) -> (buf, plane)`` (plane is [nan]*4 when
+    ground removal is disabled). One XLA program per (settings, buffer
+    structure) — the lru_cache holds the jitted callable; XLA's own cache
+    holds per-shape executables.
+    """
+    return jax.jit(pipeline_runner(settings))
 
 
 def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:

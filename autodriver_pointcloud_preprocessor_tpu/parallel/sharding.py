@@ -1,0 +1,283 @@
+"""SPMD execution: the pipeline sharded over a device mesh.
+
+The reference has no multi-device story (SURVEY.md §2c: its only
+parallelism is one ROS process per sensor). Here the scaling axis is the
+POINT axis (SURVEY.md §5 long-context analog): a merged multi-LiDAR cloud
+is sharded across cores with ``jax.shard_map``, stages run on local shards,
+and the few genuinely global steps use XLA collectives over ICI:
+
+* crop / non-finite / transform / dedup-local / voxel-local / normals:
+  embarrassingly point-parallel (dedup/voxel/kNN windows are per-shard —
+  shard-boundary neighborhoods are approximate, documented like the
+  single-chip window method);
+* statistical outliers: local mean-kNN distances, global mean/std via
+  ``psum`` — exact global thresholds;
+* RANSAC ground plane: every shard proposes hypotheses from its local
+  points, planes are ``all_gather``-ed (tiny), votes are ``psum``-ed, the
+  winner's refit uses ``psum``-ed second moments — an exact distributed
+  estimator.
+
+Batch parallelism (many scans) composes on the mesh's 'scan' axis with
+``vmap`` over a leading batch dimension.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.scan import ScanBuffer
+from ..models.pipeline import PipelineParams, PipelineSettings
+from .. import ops
+from ..ops.compact import compaction_order
+from ..ops.ground import _fit_planes_batched, _smallest_eigvec_entries
+from ..ops.window import window_mean_knn_dist
+
+__all__ = [
+    "make_mesh",
+    "shard_buffer",
+    "spatial_sort",
+    "buffer_pspecs",
+    "make_local_run",
+    "build_sharded_pipeline",
+]
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None, axis_name: str = "point"
+) -> Mesh:
+    """1-D mesh over all (or given) devices, named for the point axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def buffer_pspecs(buf: ScanBuffer, axis_name: str = "point") -> ScanBuffer:
+    """PartitionSpec pytree matching a ScanBuffer: point axis sharded."""
+    def spec_for(arr):
+        return P(*([None] * (arr.ndim - 1) + [axis_name]))
+
+    return ScanBuffer(
+        positions=spec_for(buf.positions),
+        mask=spec_for(buf.mask),
+        attributes={k: spec_for(v) for k, v in buf.attributes.items()},
+    )
+
+
+@jax.jit
+def spatial_sort(buf: ScanBuffer) -> ScanBuffer:
+    """Reorder points along the Hilbert curve (live points, invalid last).
+
+    Applied before sharding, this gives every shard a spatially compact
+    region, so shard-local voxelization/dedup/kNN windows are near-exact —
+    duplicates and missed neighbors only occur at the few shard boundaries
+    instead of everywhere.
+    """
+    from ..ops.window import hilbert_codes
+
+    order = jnp.argsort(hilbert_codes(buf.positions, buf.mask))
+    return ScanBuffer(
+        positions=buf.positions[:, order],
+        mask=buf.mask[order],
+        attributes={k: v[..., order] for k, v in buf.attributes.items()},
+    )
+
+
+def shard_buffer(
+    buf: ScanBuffer,
+    mesh: Mesh,
+    axis_name: str = "point",
+    spatially_sort: bool = True,
+) -> ScanBuffer:
+    """Place a ScanBuffer on the mesh with the point axis sharded.
+
+    ``spatially_sort`` (default) Hilbert-orders points first — see
+    ``spatial_sort``.
+    """
+    if spatially_sort:
+        buf = spatial_sort(buf)
+    specs = buffer_pspecs(buf, axis_name)
+    return jax.tree_util.tree_map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        buf,
+        specs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-shard stages
+# ---------------------------------------------------------------------------
+
+def _sharded_outliers(buf, nb_neighbors, std_ratio, axis_name, method):
+    """Local neighborhood distances, exact global mean/std via psum."""
+    if method == "exact" or (method == "auto" and buf.capacity <= 8192):
+        sq, _ = ops.knn_exact(buf.positions, buf.mask, k=nb_neighbors)
+        d = jnp.sqrt(sq)
+        finite = jnp.isfinite(d)
+        cnt = jnp.maximum(jnp.sum(finite, axis=-1), 1)
+        mean_d = jnp.sum(jnp.where(finite, d, 0.0), axis=-1) / cnt
+    else:
+        mean_d = window_mean_knn_dist(buf.positions, buf.mask, k=nb_neighbors)
+    live = buf.mask
+    w = live.astype(jnp.float32)
+    s0 = jax.lax.psum(jnp.sum(w), axis_name)
+    s1 = jax.lax.psum(jnp.sum(mean_d * w), axis_name)
+    s2 = jax.lax.psum(jnp.sum(mean_d * mean_d * w), axis_name)
+    n = jnp.maximum(s0, 1.0)
+    mu = s1 / n
+    var = jnp.maximum(s2 / n - mu * mu, 0.0)
+    keep = mean_d <= mu + jnp.asarray(std_ratio, jnp.float32) * jnp.sqrt(var)
+    return buf.with_mask(keep)
+
+
+def _sharded_ground(
+    buf, key, distance_threshold, ransac_n, num_iterations, axis_name
+):
+    """Distributed batched RANSAC: local proposals, global votes + refit."""
+    n_shards = jax.lax.axis_size(axis_name)
+    shard_id = jax.lax.axis_index(axis_name)
+    h_local = max(num_iterations // n_shards, 1)
+
+    x, y, z = buf.x, buf.y, buf.z
+    count = jnp.sum(buf.mask.astype(jnp.int32))
+    order = compaction_order(buf.mask)
+    key = jax.random.fold_in(key, shard_id)
+    u = jax.random.uniform(key, (h_local, ransac_n))
+    safe = jnp.maximum(count, 1)
+    draw = jnp.minimum((u * safe).astype(jnp.int32), safe - 1)
+    idx = order[draw]
+    normals, ds = _fit_planes_batched(x[idx], y[idx], z[idx])  # [3,hl],[hl]
+
+    # gather every shard's hypotheses (tiny: 4 floats each)
+    planes_local = jnp.concatenate([normals, ds[None, :]], axis=0)  # [4, hl]
+    planes = jax.lax.all_gather(planes_local, axis_name, axis=1, tiled=True)
+    nx, ny, nz, d = planes[0], planes[1], planes[2], planes[3]  # [H]
+
+    dist = jnp.abs(
+        x[:, None] * nx[None, :]
+        + y[:, None] * ny[None, :]
+        + z[:, None] * nz[None, :]
+        + d[None, :]
+    )
+    thresh = jnp.asarray(distance_threshold, jnp.float32)
+    votes_local = jnp.sum(
+        (dist <= thresh) & buf.mask[:, None], axis=0, dtype=jnp.int32
+    )
+    votes = jax.lax.psum(votes_local, axis_name)  # identical on all shards
+    best = jnp.argmax(votes)
+
+    best_in = (dist[:, best] <= thresh) & buf.mask
+    w = best_in.astype(jnp.float32)
+
+    # exact global least-squares refit from psum-ed moments
+    def moments():
+        s = lambda v: jax.lax.psum(jnp.sum(v), axis_name)
+        n0 = jnp.maximum(s(w), 1.0)
+        mx, my, mz = s(w * x) / n0, s(w * y) / n0, s(w * z) / n0
+        a00 = s(w * x * x) - n0 * mx * mx
+        a11 = s(w * y * y) - n0 * my * my
+        a22 = s(w * z * z) - n0 * mz * mz
+        a01 = s(w * x * y) - n0 * mx * my
+        a02 = s(w * x * z) - n0 * mx * mz
+        a12 = s(w * y * z) - n0 * my * mz
+        return (a00, a11, a22, a01, a02, a12), (mx, my, mz)
+
+    (a00, a11, a22, a01, a02, a12), (mx, my, mz) = moments()
+    rnx, rny, rnz = _smallest_eigvec_entries(a00, a11, a22, a01, a02, a12)
+    rd = -(rnx * mx + rny * my + rnz * mz)
+    final_dist = jnp.abs(x * rnx + y * rny + z * rnz + rd)
+    inliers = (final_dist <= thresh) & buf.mask
+
+    refined_votes = jax.lax.psum(jnp.sum(inliers, dtype=jnp.int32), axis_name)
+    use_refined = refined_votes >= votes[best]
+    plane = jnp.where(
+        use_refined,
+        jnp.stack([rnx, rny, rnz, rd]),
+        jnp.stack([nx[best], ny[best], nz[best], d[best]]),
+    )
+    inliers = jnp.where(use_refined, inliers, best_in)
+    return buf.with_mask(jnp.logical_not(inliers)), plane
+
+
+# ---------------------------------------------------------------------------
+# sharded pipeline
+# ---------------------------------------------------------------------------
+
+def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
+    """Per-shard pipeline body (runs inside shard_map; uses ``axis_name``
+    collectives for the globally-exact stages). Exposed for composition —
+    e.g. wrapping in vmap for a scan-batch mesh axis."""
+
+    def local_run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
+        plane = jnp.full((4,), jnp.nan, jnp.float32)
+        if settings.remove_duplicates:
+            buf = ops.remove_duplicates(buf)  # local; cross-shard dups survive
+        if settings.remove_nans or settings.remove_infs:
+            buf = ops.mask_non_finite(buf, settings.remove_nans, settings.remove_infs)
+        if settings.apply_offset_lidar:
+            buf = ops.se3_transform(buf, params.offset_matrix)
+        if settings.apply_tf:
+            buf = ops.se3_transform(buf, params.tf_matrix)
+            if settings.apply_offset_robot:
+                buf = ops.se3_transform(buf, params.offset_matrix)
+        if settings.crop_to_roi:
+            buf = ops.crop_box(buf, params.roi_min, params.roi_max, params.crop_invert)
+        if settings.voxel_downsample:
+            buf = ops.voxel_downsample(buf, params.voxel_size)  # local voxels
+        if settings.remove_statistical_outliers:
+            buf = _sharded_outliers(
+                buf,
+                settings.nb_neighbors,
+                params.std_ratio,
+                axis_name,
+                settings.knn_method,
+            )
+        if settings.estimate_normals:
+            buf = ops.estimate_normals(
+                buf, params.search_radius, settings.max_neighbors,
+                method=settings.knn_method,
+            )
+        if settings.remove_ground:
+            buf, plane = _sharded_ground(
+                buf,
+                key,
+                params.distance_threshold,
+                settings.ransac_n,
+                settings.num_iterations,
+                axis_name,
+            )
+        return buf, plane
+
+    return local_run
+
+
+@functools.lru_cache(maxsize=32)
+def build_sharded_pipeline(
+    settings: PipelineSettings, mesh: Mesh, axis_name: str = "point"
+):
+    """jit-compiled shard_map pipeline over ``mesh``.
+
+    Same stage order/semantics as models/pipeline.build_pipeline, with the
+    cross-shard stages swapped in. Inputs must be sharded with
+    ``shard_buffer`` (capacity divisible by the mesh size).
+    """
+    local_run = make_local_run(settings, axis_name)
+
+    def run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
+        specs = buffer_pspecs(buf, axis_name)
+        mapped = shard_map(
+            local_run,
+            mesh=mesh,
+            in_specs=(specs, P(), P()),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return mapped(buf, params, key)
+
+    return jax.jit(run)

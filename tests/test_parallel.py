@@ -1,0 +1,181 @@
+"""Concatenator + sharded pipeline tests (8-virtual-device CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autodriver_pointcloud_preprocessor_tpu.core import (
+    from_soa,
+    read_points,
+    to_soa,
+    valid_count,
+)
+from autodriver_pointcloud_preprocessor_tpu.io.loader import soa_to_pointcloud2
+from autodriver_pointcloud_preprocessor_tpu.core.msg import Time
+from autodriver_pointcloud_preprocessor_tpu.models import (
+    PipelineParams,
+    PipelineSettings,
+    build_pipeline,
+)
+from autodriver_pointcloud_preprocessor_tpu.parallel import (
+    ApproximateTimeSynchronizer,
+    PointcloudConcatenatorNode,
+    build_sharded_pipeline,
+    concatenate_buffers,
+    make_mesh,
+    shard_buffer,
+)
+from autodriver_pointcloud_preprocessor_tpu.runtime import TopicBus
+
+
+def test_concatenate_buffers_transform_and_union_schema(rng):
+    a, _ = from_soa({
+        "positions": rng.normal(size=(100, 3)).astype(np.float32),
+        "intensity": np.ones(100, np.float32),
+    })
+    b, _ = from_soa({"positions": rng.normal(size=(200, 3)).astype(np.float32)})
+    ex_a = jnp.eye(4)
+    ex_b = jnp.eye(4).at[0, 3].set(5.0)
+    merged = concatenate_buffers([a, b], [ex_a, ex_b])
+    assert merged.capacity == a.capacity + b.capacity
+    assert int(valid_count(merged)) == 300
+    out = to_soa(merged)
+    # sensor b shifted by +5 in x
+    assert out["positions"][100:, 0].mean() > 4.0
+    # union schema: intensity zero-filled for sensor b
+    assert out["intensity"].shape[0] == 300
+    assert (out["intensity"][:100] == 1.0).all()
+    assert (out["intensity"][100:] == 0.0).all()
+
+
+def test_approximate_time_synchronizer():
+    hits = []
+    sync = ApproximateTimeSynchronizer(3, lambda *m: hits.append(m), slop=0.02)
+
+    class M:
+        def __init__(self, t):
+            from autodriver_pointcloud_preprocessor_tpu.core.msg import Header
+            self.header = Header(stamp=Time.from_float(t))
+
+    sync.add(0, M(1.000))
+    sync.add(1, M(1.005))
+    assert not hits
+    sync.add(2, M(1.010))  # within slop -> fire
+    assert len(hits) == 1
+    # far-apart messages never match
+    sync.add(0, M(2.0))
+    sync.add(1, M(2.5))
+    sync.add(2, M(3.0))
+    assert len(hits) == 1
+
+
+def _cloud_msg(rng, n, t, x_off=0.0):
+    soa = {
+        "positions": (rng.normal(0, 1, (n, 3)) + [x_off, 0, 0]).astype(np.float32),
+        "time": np.full(n, t),
+    }
+    return soa_to_pointcloud2(soa, frame_id="s", stamp=Time.from_float(t))
+
+
+def test_concatenator_node_sync_mode(rng):
+    bus = TopicBus()
+    node = PointcloudConcatenatorNode(
+        bus, ["/a", "/b"], extrinsics={"/b": np.eye(4) + np.diag([0.0] * 4)},
+        mode="sync", slop=0.05,
+    )
+    node.extrinsics["/b"][0, 3] = 10.0
+    outs = []
+    bus.create_subscription("/points/concatenated", outs.append)
+    pa, pb = bus.create_publisher("/a"), bus.create_publisher("/b")
+    pa.publish(_cloud_msg(rng, 50, 1.00))
+    assert not outs
+    pb.publish(_cloud_msg(rng, 60, 1.02, x_off=0.0))
+    assert len(outs) == 1
+    pts = read_points(outs[0])
+    assert pts.shape[0] == 110
+    assert outs[0].header.frame_id == "base_link"
+    assert (pts["x"] > 5).sum() == 60  # sensor b translated by extrinsic
+
+
+def test_concatenator_node_robust_mode(rng):
+    bus = TopicBus()
+    node = PointcloudConcatenatorNode(
+        bus, ["/a", "/b", "/c"], mode="robust", timeout=10.0
+    )
+    outs = []
+    bus.create_subscription("/points/concatenated", outs.append)
+    bus.create_publisher("/a").publish(_cloud_msg(rng, 30, 1.0))
+    bus.create_publisher("/b").publish(_cloud_msg(rng, 40, 1.01))
+    assert not outs  # /c missing, timeout not expired
+    node.flush()  # timer expiry analog: publish the partial set
+    assert len(outs) == 1
+    assert read_points(outs[0]).shape[0] == 70
+
+
+def _scene(rng, n_ground=3000, n_obj=800):
+    ground = np.column_stack(
+        [rng.uniform(-10, 10, (2, n_ground)).T, rng.normal(0, 0.02, n_ground)]
+    )
+    obj = rng.normal([0, 0, 2.0], 0.4, (n_obj, 3))
+    return np.vstack([ground, obj]).astype(np.float32)
+
+
+def test_sharded_pipeline_matches_single_device(rng):
+    assert len(jax.devices()) == 8
+    pts = _scene(rng)
+    buf, _ = from_soa({"positions": pts}, capacity=4096)
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8, knn_method="exact",
+        estimate_normals=False,
+        remove_ground=True, num_iterations=64, ransac_n=3,
+    )
+    params = PipelineParams.make(voxel_size=0.15, distance_threshold=0.08)
+    key = jax.random.PRNGKey(0)
+
+    single = build_pipeline(settings)
+    out_s, plane_s = single(buf, params, key)
+
+    mesh = make_mesh()
+    sharded_buf = shard_buffer(buf, mesh)
+    fn = build_sharded_pipeline(settings, mesh)
+    out_m, plane_m = fn(sharded_buf, params, key)
+
+    # same ground plane (up to sign/tolerance)
+    ps, pm = np.asarray(plane_s), np.asarray(plane_m)
+    assert abs(ps[2]) > 0.99 and abs(pm[2]) > 0.99
+    # survivor counts close (voxel/dedup boundaries are approximate)
+    ns, nm = int(valid_count(out_s)), int(valid_count(out_m))
+    assert abs(ns - nm) / max(ns, 1) < 0.15
+
+
+def test_sharded_outlier_stats_are_global(rng):
+    # one dense cluster entirely on some shards + far outliers on others:
+    # global psum stats must remove the outliers regardless of shard layout
+    cluster = rng.normal(0, 0.1, (2000, 3)).astype(np.float32)
+    outliers = rng.uniform(50, 60, (48, 3)).astype(np.float32)
+    pts = np.vstack([cluster, outliers])
+    buf, _ = from_soa({"positions": pts}, capacity=2048)
+    settings = PipelineSettings(
+        remove_duplicates=False, crop_to_roi=False, voxel_downsample=False,
+        estimate_normals=False, remove_statistical_outliers=True,
+        nb_neighbors=8, knn_method="exact",
+    )
+    params = PipelineParams.make(std_ratio=2.0)
+    mesh = make_mesh()
+    fn = build_sharded_pipeline(settings, mesh)
+    out, _ = fn(shard_buffer(buf, mesh), params, jax.random.PRNGKey(0))
+    mask = np.asarray(out.mask)
+    assert mask[:2000].mean() > 0.97
+    assert mask[2000:2048].sum() == 0
+
+
+def test_sharded_pipeline_is_compiled_spmd(rng):
+    # compiles and runs under jit on the virtual mesh; survivors land on
+    # the right shards (output sharding preserved)
+    pts = _scene(rng, 1000, 200)
+    buf, _ = from_soa({"positions": pts}, capacity=2048)
+    mesh = make_mesh()
+    sb = shard_buffer(buf, mesh)
+    settings = PipelineSettings(estimate_normals=False)
+    fn = build_sharded_pipeline(settings, mesh)
+    out, _ = fn(sb, PipelineParams.make(voxel_size=0.1), jax.random.PRNGKey(1))
+    assert out.positions.sharding.spec == jax.sharding.PartitionSpec(None, "point")
