@@ -1,0 +1,219 @@
+"""Console entry points (reference packaging parity: setup.py:63-68 registers
+``pointcloud_preprocessor`` and ``pointcloud_compressor``; this framework
+also ships the loader and concatenator the reference left as stubs).
+
+Each command runs standalone on the in-process bus: file/PCAP sources in,
+processed/compressed files out. Under ROS 2, use the adapter in
+``ros2_adapter.py`` instead.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def preprocessor_main(argv=None) -> int:
+    """Preprocess clouds from a directory/file/PCAP through the TPU engine."""
+    ap = argparse.ArgumentParser("pointcloud_preprocessor")
+    ap.add_argument("source", help=".pcd/.ply/... file, directory, or .pcap")
+    ap.add_argument("-o", "--output-dir", default="./processed")
+    ap.add_argument("--params", default=None,
+                    help="JSON file of reference-named parameters")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="parameter override, e.g. --set voxel_size=0.05")
+    ap.add_argument("--extension", default=".pcd")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-stage timing (reference stage keys)")
+    ap.add_argument("--max-scans", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .io.loader import PointcloudLoader
+    from .io.pcd import write_point_cloud
+    from .core.codec import pointcloud_to_dict
+    from .models import Preprocessor
+
+    overrides = {}
+    if args.params:
+        with open(args.params) as f:
+            overrides.update(json.load(f))
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        overrides[key] = json.loads(val) if val and val[0] in "[{tf0123456789-" else val
+
+    engine = Preprocessor(overrides, profile=args.profile)
+    loader = PointcloudLoader(args.source, rate_hz=0)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    count = 0
+    for msg in loader.scans():
+        soa, meta = pointcloud_to_dict(msg)
+        out, meta = engine.process_soa(soa, meta)
+        path = os.path.join(
+            args.output_dir, f"{count:08d}{args.extension}"
+        )
+        write_point_cloud(path, out)
+        count += 1
+        if args.profile:
+            times = {k: round(v * 1e3, 3) for k, v in engine.processing_times.items()}
+            print(f"scan {count}: {times}", file=sys.stderr)
+        if args.max_scans and count >= args.max_scans:
+            break
+    print(f"processed {count} scans -> {args.output_dir}")
+    return 0
+
+
+def compressor_main(argv=None) -> int:
+    """Compress (or decompress) cloud files with the APCZ codec.
+
+    The reference registered this entry point without a main
+    (reference setup.py:66, pointcloud_compressor.py has no ``main``) —
+    this is the working implementation.
+    """
+    ap = argparse.ArgumentParser("pointcloud_compressor")
+    ap.add_argument("source", help="cloud file, directory, or .pcap")
+    ap.add_argument("-o", "--output-dir", default="./compressed")
+    ap.add_argument("-d", "--decompress", action="store_true")
+    ap.add_argument("-q", "--quantization-bits", type=int, default=14)
+    ap.add_argument("--level", type=int, default=6)
+    ap.add_argument("--max-scans", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .io.compressor import compress_soa, decompress_soa
+    from .io.pcd import read_point_cloud, write_point_cloud
+    from .io.loader import PointcloudLoader
+    from .core.codec import pointcloud_to_dict
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    count, in_bytes, out_bytes = 0, 0, 0
+    if args.decompress:
+        import glob
+
+        files = (
+            sorted(glob.glob(os.path.join(args.source, "*.apcz")))
+            if os.path.isdir(args.source)
+            else [args.source]
+        )
+        for path in files:
+            with open(path, "rb") as f:
+                blob = f.read()
+            soa = decompress_soa(blob)
+            out_path = os.path.join(
+                args.output_dir,
+                os.path.splitext(os.path.basename(path))[0] + ".pcd",
+            )
+            write_point_cloud(out_path, soa)
+            count += 1
+    else:
+        loader = PointcloudLoader(args.source, rate_hz=0)
+        for msg in loader.scans():
+            soa, _ = pointcloud_to_dict(msg)
+            blob = compress_soa(soa, args.quantization_bits, args.level)
+            in_bytes += len(msg.data)
+            out_bytes += len(blob)
+            with open(
+                os.path.join(args.output_dir, f"{count:08d}.apcz"), "wb"
+            ) as f:
+                f.write(blob)
+            count += 1
+            if args.max_scans and count >= args.max_scans:
+                break
+        if out_bytes:
+            print(
+                f"ratio {in_bytes / out_bytes:.2f}x "
+                f"({in_bytes} -> {out_bytes} bytes)",
+                file=sys.stderr,
+            )
+    print(f"{'decompressed' if args.decompress else 'compressed'} {count} scans")
+    return 0
+
+
+def loader_main(argv=None) -> int:
+    """Replay clouds from files/PCAP (prints scan stats)."""
+    ap = argparse.ArgumentParser("pointcloud_loader")
+    ap.add_argument("source")
+    ap.add_argument("--rate-hz", type=float, default=10.0)
+    ap.add_argument("--loop", action="store_true")
+    ap.add_argument("--max-scans", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .io.loader import PointcloudLoader
+    from .runtime.bus import TopicBus
+
+    bus = TopicBus()
+    stats = {"n": 0}
+
+    def on_msg(msg):
+        stats["n"] += 1
+        print(f"scan {stats['n']}: {msg.width} points, frame {msg.header.frame_id}")
+
+    bus.create_subscription("/loader/points", on_msg)
+    loader = PointcloudLoader(
+        args.source, bus=bus, rate_hz=args.rate_hz, loop=args.loop
+    )
+    loader.spin(max_scans=args.max_scans)
+    return 0
+
+
+def concatenator_main(argv=None) -> int:
+    """Merge per-sensor cloud files into combined scans."""
+    ap = argparse.ArgumentParser("pointcloud_concatenator")
+    ap.add_argument("sources", nargs="+", help="one directory per sensor")
+    ap.add_argument("-o", "--output-dir", default="./concatenated")
+    ap.add_argument("--extrinsics", default=None,
+                    help="JSON: {source_dir: 16-float row-major matrix}")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .io.loader import PointcloudLoader
+    from .io.pcd import write_point_cloud
+    from .core.codec import pointcloud_to_dict
+    from .parallel import PointcloudConcatenatorNode
+    from .runtime.bus import TopicBus
+
+    extrinsics = {}
+    if args.extrinsics:
+        with open(args.extrinsics) as f:
+            raw = json.load(f)
+        extrinsics = {
+            f"/in{idx}": np.asarray(raw[src], np.float32).reshape(4, 4)
+            for idx, src in enumerate(args.sources)
+            if src in raw
+        }
+
+    bus = TopicBus()
+    topics = [f"/in{i}" for i in range(len(args.sources))]
+    # robust mode auto-publishes when all sensors delivered; the explicit
+    # flush below handles the final partial round
+    node = PointcloudConcatenatorNode(
+        bus, topics, extrinsics=extrinsics, mode="robust", timeout=1e9
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    outs = {"n": 0}
+
+    def on_merged(msg):
+        soa, _ = pointcloud_to_dict(msg)
+        write_point_cloud(
+            os.path.join(args.output_dir, f"{outs['n']:08d}.pcd"), soa
+        )
+        outs["n"] += 1
+
+    bus.create_subscription("/points/concatenated", on_merged)
+    loaders = [PointcloudLoader(src, bus=bus, topic=t, rate_hz=0)
+               for src, t in zip(args.sources, topics)]
+    iters = [ld.scans() for ld in loaders]
+    pubs = [bus.create_publisher(t) for t in topics]
+    while True:
+        done = False
+        for it, pub in zip(iters, pubs):
+            try:
+                pub.publish(next(it))
+            except StopIteration:
+                done = True
+        node.flush()
+        if done:
+            break
+    print(f"wrote {outs['n']} merged scans -> {args.output_dir}")
+    return 0
