@@ -57,6 +57,11 @@ class PipelineSettings:
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
+    #: when outliers AND normals are both enabled on the window path, run
+    #: them as ONE shared neighborhood sweep (ops/window.py
+    #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
+    #: are computed on the pre-outlier-filter cloud.
+    fuse_neighborhood: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +109,8 @@ class PipelineParams:
 #: (pointcloud_preprocessor.py stage timers; see core/timing.py).
 STAGE_TIMING_KEYS = {
     "remove_duplicates": "remove_duplicate_points",
+    # fused outlier+normal sweep reports under the outlier key
+    "neighborhood": "remove_statistical_outliers",
     "non_finite": "remove_nan_points",
     "transform": "transform",
     "crop": "crop",
@@ -161,7 +168,39 @@ def stage_functions(settings: PipelineSettings):
             ("voxel", lambda b, p, k: (ops.voxel_downsample(b, p.voxel_size), None))
         )
 
-    if settings.remove_statistical_outliers:
+    fuse = (
+        settings.fuse_neighborhood
+        and settings.remove_statistical_outliers
+        and settings.estimate_normals
+        and settings.knn_method != "exact"
+    )
+
+    if fuse:
+        def neighborhood(b, p, k):
+            import jax.numpy as jnp
+
+            from ..ops.window import fused_neighborhood_stats
+
+            mean_d, normals, count = fused_neighborhood_stats(
+                b.positions,
+                b.mask,
+                k=settings.nb_neighbors,
+                radius=p.search_radius,
+            )
+            # global outlier threshold (reference :514-519 semantics)
+            valid = b.mask
+            n_live = jnp.maximum(jnp.sum(valid), 1)
+            mu = jnp.sum(jnp.where(valid, mean_d, 0.0)) / n_live
+            var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / n_live
+            keep = mean_d <= mu + p.std_ratio * jnp.sqrt(var)
+            b = b.with_mask(keep)
+            attrs = dict(b.attributes)
+            attrs["normals"] = normals
+            return b.replace(attributes=attrs), None
+
+        stages.append(("neighborhood", neighborhood))
+
+    if settings.remove_statistical_outliers and not fuse:
         stages.append(
             (
                 "outliers",
@@ -177,7 +216,7 @@ def stage_functions(settings: PipelineSettings):
             )
         )
 
-    if settings.estimate_normals:
+    if settings.estimate_normals and not fuse:
         stages.append(
             (
                 "normals",

@@ -1,0 +1,217 @@
+"""Pallas TPU kernel for windowed neighborhood statistics.
+
+The XLA formulation of the Hilbert-window kNN ops (ops/window.py)
+materializes (N, window) candidate/distance tensors in HBM — ~2 GB of
+traffic per pass at 131k points, measured at +57 ms (outliers) / +14 ms
+(normals) per scan. This kernel keeps everything in VMEM:
+
+* squared distances for one 128-query block against its 640-candidate
+  window come from ONE MXU matmul via the feature trick
+  ``[x, y, z, |c|^2, 1, BIG*invalid] . [-2x, -2y, -2z, 1, |q|^2, 1]``
+  — invalid-candidate exclusion is folded into the same contraction.
+  ``Precision.HIGHEST`` is required: the MXU's default bf16 multiply
+  destroys the |c|^2+|q|^2-2cq cancellation (measured: every mean-kNN
+  distance off by ~1%, and collided float values made tie-masking skip
+  real neighbors);
+* mean-of-k-nearest comes from k min-extraction sweeps on the VPU, each
+  masking exactly one argmin winner;
+* covariance raw moments (for normal PCA) come from a second matmul
+  ``G(10, M) @ w(M, B)`` where G rows are [1, x, y, z, xx, yy, zz, xy,
+  xz, yz] and w is the in-radius indicator — centering happens outside
+  the kernel from the raw moments.
+
+Candidate windows overlap between grid blocks, which BlockSpec cannot
+express; all 32 feature rows live in one HBM array and each grid step
+DMAs one (32, window) slice into a double-buffered VMEM scratch,
+prefetching step i+1's window while computing step i.
+
+HBM traffic per pass drops to ~35 MB. Used by ops/window.py when running
+on TPU; the XLA path remains as the portable fallback and the
+interpret-mode oracle for tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["window_stats_pallas"]
+
+_BIG = 1e30
+_B = 128  # query block = lane width
+_F = 32  # feature rows: 0-7 candidate, 8-23 moment, 24-31 query
+
+
+def _kernel(
+    r2_ref,  # SMEM (1, 1) squared radius
+    feat_hbm,  # ANY (32, Npad) combined feature rows
+    mom_ref,  # VMEM out (16, B): rows 0-9 moments, 10 mean_knn, 11 count
+    feat_vmem,  # scratch (2, 32, window) double buffer
+    sems,  # DMA semaphores (2,)
+    *,
+    k: int,
+    window: int,
+):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    center = (window - _B) // 2
+
+    def window_dma(step, slot):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(step * _B, window)],
+            feat_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        window_dma(i + 1, (i + 1) % 2).start()
+
+    window_dma(i, i % 2).wait()
+    feat = feat_vmem[i % 2]
+
+    # (M, B) squared distances (+BIG for invalid candidates) in one matmul.
+    d2 = jax.lax.dot_general(
+        feat[0:8, :],
+        feat[24:32, center : center + _B],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(d2, 0.0)
+
+    # ---- covariance raw moments over in-radius candidates ----
+    r2 = r2_ref[0, 0]
+    w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
+    moments = jax.lax.dot_general(
+        feat[8:24, :],
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # ---- mean distance of k nearest (min-extraction sweeps) ----
+    # Mask exactly ONE candidate per sweep (argmin one-hot): distinct
+    # candidates can collide at the same float d2, and masking all ties
+    # would skip real neighbors.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, _B), 0)
+
+    def sweep(_, carry):
+        d, acc, cnt = carry
+        mn = jnp.min(d, axis=0, keepdims=True)  # (1, B)
+        amn = jnp.argmin(d, axis=0)  # (B,)
+        hit = mn < _BIG / 2
+        acc = acc + jnp.where(hit, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0)
+        cnt = cnt + jnp.where(hit, 1.0, 0.0)
+        d = jnp.where(rows == amn[None, :], _BIG, d)
+        return d, acc, cnt
+
+    zero = jnp.zeros((1, _B), jnp.float32)
+    _, acc, cnt = jax.lax.fori_loop(0, k, sweep, (d2, zero, zero))
+    mean = acc / jnp.maximum(cnt, 1.0)
+    mom_ref[:, :] = jnp.concatenate([moments[:10], mean, cnt, moments[12:]])
+
+
+def _features(x, y, z, valid_f):
+    """Combined (32, N) feature rows: candidate, moment, query."""
+    nsq = x * x + y * y + z * z
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    big_invalid = (1.0 - valid_f) * _BIG
+    return jnp.stack(
+        [
+            # 0-7: candidate features
+            x, y, z, nsq, one, big_invalid, zero, zero,
+            # 8-23: moment features
+            one, x, y, z,
+            x * x, y * y, z * z,
+            x * y, x * z, y * z,
+            zero, zero, zero, zero, zero, zero,
+            # 24-31: query features
+            -2.0 * x, -2.0 * y, -2.0 * z, one, nsq, one, zero, zero,
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "window_blocks", "interpret")
+)
+def window_stats_pallas(
+    sorted_x: jax.Array,
+    sorted_y: jax.Array,
+    sorted_z: jax.Array,
+    sorted_valid: jax.Array,
+    radius: jax.Array | float,
+    k: int = 20,
+    window_blocks: int = 2,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Windowed stats over curve-sorted planar rows.
+
+    Args:
+        sorted_x/y/z: float32[N] positions in curve order (N % 128 == 0).
+        sorted_valid: bool[N].
+        radius: in-radius threshold for the covariance moments (traced).
+        k: neighbor count for the mean-distance statistic (static).
+        window_blocks: candidate radius in 128-point blocks (static).
+        interpret: run in Pallas interpreter mode (CPU tests).
+    Returns:
+        (mean_knn_dist float32[N], knn_count float32[N],
+         moments float32[10, N]) — moments rows are
+         [n, Sx, Sy, Sz, Sxx, Syy, Szz, Sxy, Sxz, Syz] over in-radius
+         candidates (self included). Entries for invalid queries are
+         meaningless; callers mask.
+    """
+    n = sorted_x.shape[-1]
+    assert n % _B == 0, f"sorted length {n} not a multiple of {_B}"
+    nb = n // _B
+    window = (2 * window_blocks + 1) * _B
+    pad = window_blocks * _B
+
+    valid_f = sorted_valid.astype(jnp.float32)
+    feat = _features(
+        sorted_x.astype(jnp.float32),
+        sorted_y.astype(jnp.float32),
+        sorted_z.astype(jnp.float32),
+        valid_f,
+    )
+    feat = jnp.pad(feat, ((0, 0), (pad, pad)))
+    # padded candidate columns must be invalid -> BIG in feature row 5
+    pad_mask = jnp.zeros(n + 2 * pad, jnp.float32).at[pad : pad + n].set(1.0)
+    feat = feat.at[5, :].set((1.0 - pad_mask) * _BIG + feat[5, :])
+
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    r2_arr = jnp.reshape(r2, (1, 1))
+
+    packed = pl.pallas_call(
+        functools.partial(_kernel, k=k, window=window),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (16, _B), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * 16, _B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, _F, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(r2_arr, feat)
+
+    packed = packed.reshape(nb, 16, _B).transpose(1, 0, 2).reshape(16, n)
+    mean = packed[10]
+    cnt = packed[11]
+    mom = packed[:10]
+    return mean, cnt, mom

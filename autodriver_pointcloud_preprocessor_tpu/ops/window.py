@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "default_backend",
+    "fused_neighborhood_stats",
     "hilbert_codes",
     "morton_codes",
     "window_mean_knn_dist",
@@ -145,11 +147,16 @@ def _window(blocks: jax.Array, num_rolls: int) -> jax.Array:
 _PASS_PERMS = ((0, 1, 2), (1, 2, 0), (2, 0, 1), (0, 2, 1))
 
 
-def _sorted_window_arrays(positions, mask, block_size, window_blocks, pass_idx):
+def _hilbert_order(positions, mask, pass_idx):
+    """Sort permutation for pass ``pass_idx`` (axis-permuted curve)."""
     perm = _PASS_PERMS[pass_idx % len(_PASS_PERMS)]
     permuted = jnp.stack([positions[perm[0]], positions[perm[1]], positions[perm[2]]])
     shift = 0.0 if pass_idx < len(_PASS_PERMS) else 8.0 * pass_idx
-    order = jnp.argsort(hilbert_codes(permuted, mask, shift))
+    return jnp.argsort(hilbert_codes(permuted, mask, shift))
+
+
+def _sorted_window_arrays(positions, mask, block_size, window_blocks, pass_idx):
+    order = _hilbert_order(positions, mask, pass_idx)
     sx = positions[0][order].reshape(-1, block_size)
     sy = positions[1][order].reshape(-1, block_size)
     sz = positions[2][order].reshape(-1, block_size)
@@ -166,9 +173,158 @@ def _map_chunks(fn, num_blocks, chunk_blocks):
     return jax.lax.map(fn, jnp.arange(num_chunks))
 
 
+def default_backend() -> str:
+    """'pallas' on real TPU, 'xla' elsewhere (CPU tests, interpreters)."""
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+def _sorted_rows(positions, mask, pass_idx, extra=()):
+    """Curve-sort x/y/z/valid (+extra rows) via ONE variadic lax.sort.
+
+    Gather-free: the sort carries every payload row alongside the key
+    (payload [N] gathers cost ~1 ms each on this backend, the variadic
+    sort ~0.3 ms total — PERF_NOTES.md). Returns the sorted rows plus the
+    original index row for sort-back.
+    """
+    n = positions.shape[-1]
+    perm = _PASS_PERMS[pass_idx % len(_PASS_PERMS)]
+    permuted = jnp.stack(
+        [positions[perm[0]], positions[perm[1]], positions[perm[2]]]
+    )
+    shift = 0.0 if pass_idx < len(_PASS_PERMS) else 8.0 * pass_idx
+    codes = hilbert_codes(permuted, mask, shift)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort(
+        (codes, positions[0], positions[1], positions[2], mask, idx, *extra),
+        num_keys=1,
+        is_stable=True,
+    )
+    return out[1:]  # sx, sy, sz, sv, sidx, *extra_sorted
+
+
+def _unsort(sidx, rows):
+    """Restore original order by sorting on the carried index row."""
+    out = jax.lax.sort((sidx, *rows), num_keys=1, is_stable=True)
+    return out[1:]
+
+
+def _entries_from_moments(mom):
+    """Centered covariance entries (6, ...) from raw moment rows (10, ...)."""
+    nw = jnp.maximum(mom[0], 1.0)
+    mx, my, mz = mom[1] / nw, mom[2] / nw, mom[3] / nw
+    a00 = mom[4] - nw * mx * mx
+    a11 = mom[5] - nw * my * my
+    a22 = mom[6] - nw * mz * mz
+    a01 = mom[7] - nw * mx * my
+    a02 = mom[8] - nw * mx * mz
+    a12 = mom[9] - nw * my * mz
+    return jnp.stack([a00, a11, a22, a01, a02, a12])
+
+
+def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks, interpret):
+    """One curve pass through the fused Pallas kernel (ops/pallas_window.py).
+
+    Returns (mean_knn[N], cov_entries[6, N], count[N]) in ORIGINAL order.
+    """
+    from .pallas_window import window_stats_pallas
+
+    sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, pass_idx)
+    mean_s, cnt_s, mom_s = window_stats_pallas(
+        sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
+        interpret=interpret,
+    )
+    entries_s = _entries_from_moments(mom_s)
+    mean, count, *entry_rows = _unsort(
+        sidx, (mean_s, mom_s[0], *[entries_s[i] for i in range(6)])
+    )
+    return mean, jnp.stack(entry_rows), count
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_size", "window_blocks", "chunk_blocks", "passes"),
+    static_argnames=("k", "window_blocks", "passes", "backend"),
+)
+def fused_neighborhood_stats(
+    positions: jax.Array,
+    mask: jax.Array,
+    k: int,
+    radius: jax.Array | float,
+    window_blocks: int = 2,
+    passes: int = 2,
+    backend: str = "auto",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One shared neighborhood sweep serving BOTH statistical-outlier and
+    normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
+
+    On TPU this is 2 variadic sorts + the Pallas kernel per pass — the
+    sort/gather/scatter glue is shared between the two consumers instead
+    of paid 4x. The XLA fallback composes the two window ops. Note the
+    documented semantic: neighborhoods are computed on the pre-outlier
+    cloud (the reference filters outliers first, then estimates normals;
+    true outliers are out-of-radius for their neighbors, so the normals
+    are statistically unchanged).
+    """
+    from .ground import _smallest_eigvec_entries
+    from .normals import _normals_from_entries
+
+    if backend == "auto":
+        backend = default_backend()
+    n = positions.shape[-1]
+
+    if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
+        interp = backend == "pallas_interpret"
+        from .pallas_window import window_stats_pallas
+
+        mean = normals = count = None
+        for p_i in range(passes):
+            sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, p_i)
+            mean_s, _cnt_s, mom_s = window_stats_pallas(
+                sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
+                interpret=interp,
+            )
+            e = _entries_from_moments(mom_s)
+            normals_s = _normals_from_entries(
+                e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0]
+            )
+            m_o, c_o, nx_o, ny_o, nz_o = _unsort(
+                sidx, (mean_s, mom_s[0], normals_s[0], normals_s[1], normals_s[2])
+            )
+            n_o = jnp.stack([nx_o, ny_o, nz_o])
+            if mean is None:
+                mean, normals, count = m_o, n_o, c_o
+            else:
+                mean = jnp.minimum(mean, m_o)
+                better = c_o > count
+                normals = jnp.where(better[None, :], n_o, normals)
+                count = jnp.where(better, c_o, count)
+        return jnp.where(mask, mean, 0.0), normals, jnp.where(mask, count, 0.0)
+
+    # XLA fallback: compose the two window ops (no sharing, same results)
+    mean = window_mean_knn_dist(
+        positions, mask, k=k, window_blocks=window_blocks, passes=passes,
+        backend="xla",
+    )
+    entries, count = window_normal_stats(
+        positions, mask, radius, window_blocks=window_blocks, passes=passes,
+        backend="xla",
+    )
+    from .normals import _normals_from_entries as _nfe
+
+    normals = _nfe(
+        entries[0], entries[1], entries[2], entries[3], entries[4],
+        entries[5], count,
+    )
+    return mean, normals, count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_size", "window_blocks", "chunk_blocks", "passes", "backend"
+    ),
 )
 def window_mean_knn_dist(
     positions: jax.Array,
@@ -178,6 +334,7 @@ def window_mean_knn_dist(
     window_blocks: int = 2,
     chunk_blocks: int = 64,
     passes: int = 2,
+    backend: str = "auto",
 ) -> jax.Array:
     """Mean distance to the k nearest window candidates (self included).
 
@@ -188,6 +345,21 @@ def window_mean_knn_dist(
     """
     n = positions.shape[-1]
     block_size = min(block_size, n)
+    if backend == "auto":
+        backend = default_backend()
+    if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
+        interp = backend == "pallas_interpret"
+
+        def pallas_one(pass_idx):
+            mean, _entries, _cnt = _pallas_pass(
+                positions, mask, pass_idx, k, 0.0, window_blocks, interp
+            )
+            return mean
+
+        best = pallas_one(0)
+        for p_i in range(1, passes):
+            best = jnp.minimum(best, pallas_one(p_i))
+        return jnp.where(mask, best, 0.0)
 
     def one_pass(pass_idx):
         order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
@@ -229,7 +401,9 @@ def window_mean_knn_dist(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "window_blocks", "chunk_blocks", "passes"),
+    static_argnames=(
+        "block_size", "window_blocks", "chunk_blocks", "passes", "backend"
+    ),
 )
 def window_normal_stats(
     positions: jax.Array,
@@ -239,6 +413,7 @@ def window_normal_stats(
     window_blocks: int = 2,
     chunk_blocks: int = 64,
     passes: int = 2,
+    backend: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """In-radius covariance entries over the curve window, per point.
 
@@ -252,6 +427,22 @@ def window_normal_stats(
     """
     n = positions.shape[-1]
     block_size = min(block_size, n)
+    if backend == "auto":
+        backend = default_backend()
+    if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
+        interp = backend == "pallas_interpret"
+        entries, counts = None, None
+        for p_i in range(passes):
+            _mean, e2, c2 = _pallas_pass(
+                positions, mask, p_i, 1, radius, window_blocks, interp
+            )
+            if entries is None:
+                entries, counts = e2, c2
+            else:
+                better = c2 > counts
+                entries = jnp.where(better[None, :], e2, entries)
+                counts = jnp.where(better, c2, counts)
+        return entries, jnp.where(mask, counts, 0.0)
     r2 = jnp.asarray(radius, jnp.float32) ** 2
 
     def one_pass(pass_idx):

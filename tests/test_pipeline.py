@@ -45,13 +45,48 @@ def test_settings_offset_frames():
 def test_stage_order_matches_reference():
     s = PipelineSettings(
         remove_statistical_outliers=True, remove_ground=True,
-        apply_tf=True,
+        apply_tf=True, fuse_neighborhood=False,
     )
     names = [n for n, _ in stage_functions(s)]
     assert names == [
         "remove_duplicates", "non_finite", "transform", "crop", "voxel",
         "outliers", "normals", "ground",
     ]
+
+
+def test_stage_order_fused_neighborhood():
+    # default: outliers+normals fuse into one shared neighborhood sweep
+    s = PipelineSettings(remove_statistical_outliers=True, remove_ground=True)
+    names = [n for n, _ in stage_functions(s)]
+    assert names == [
+        "remove_duplicates", "non_finite", "crop", "voxel",
+        "neighborhood", "ground",
+    ]
+
+
+def test_fused_neighborhood_matches_sequential(rng):
+    pts = _scene(rng, 2000, 400)
+    buf, _ = from_soa({"positions": pts})
+    import jax as _jax
+
+    params = PipelineParams.make(voxel_size=0.0, std_ratio=2.0, search_radius=0.5)
+    base = dict(
+        remove_statistical_outliers=True, nb_neighbors=10,
+        estimate_normals=True, max_neighbors=16,
+        voxel_downsample=False, knn_method="window",
+    )
+    fused_fn = build_pipeline(PipelineSettings(fuse_neighborhood=True, **base))
+    seq_fn = build_pipeline(PipelineSettings(fuse_neighborhood=False, **base))
+    key = _jax.random.PRNGKey(0)
+    out_f, _ = fused_fn(buf, params, key)
+    out_s, _ = seq_fn(buf, params, key)
+    mf, ms = np.asarray(out_f.mask), np.asarray(out_s.mask)
+    assert (mf == ms).mean() > 0.99  # same outlier decisions
+    nf = np.asarray(out_f.attributes["normals"]).T
+    ns = np.asarray(out_s.attributes["normals"]).T
+    both = mf & ms
+    dots = np.abs((nf[both] * ns[both]).sum(1))
+    assert (dots > 0.99).mean() > 0.97  # same normals where both live
 
 
 def test_fused_pipeline_runs(rng):
