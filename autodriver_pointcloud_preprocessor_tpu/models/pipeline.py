@@ -49,11 +49,20 @@ class PipelineSettings:
     apply_offset_robot: bool = False
     crop_to_roi: bool = True
     voxel_downsample: bool = True  # reference gates on voxel_size > 0 (:509)
+    #: alternative downsamplers (reference TODO :37): 'voxel' | 'random' |
+    #: 'uniform' | 'farthest_point'
+    downsample_method: str = "voxel"
+    fps_num_samples: int = 4096  # static (farthest_point loop bound)
     remove_statistical_outliers: bool = False
     nb_neighbors: int = 20
+    remove_radius_outliers: bool = False
     estimate_normals: bool = True
     max_neighbors: int = 30
     remove_ground: bool = False
+    #: 'ransac' (reference behavior) or 'height' — fixed-plane cut using
+    #: the ground_plane parameter (the reference declares ground_plane/
+    #: use_height but never uses them, :184-185; this makes them real)
+    ground_method: str = "ransac"
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
@@ -78,6 +87,11 @@ class PipelineParams:
     distance_threshold: jax.Array
     offset_matrix: jax.Array
     tf_matrix: jax.Array
+    radius_nb_points: jax.Array
+    radius_search_radius: jax.Array
+    sampling_ratio: jax.Array
+    every_k_points: jax.Array
+    ground_plane: jax.Array
 
     @staticmethod
     def make(
@@ -90,6 +104,11 @@ class PipelineParams:
         distance_threshold=0.2,
         offset_matrix=None,
         tf_matrix=None,
+        radius_nb_points=16,
+        radius_search_radius=0.05,
+        sampling_ratio=0.5,
+        every_k_points=5,
+        ground_plane=(0.0, 1.0, 0.0, 0.0),
     ) -> "PipelineParams":
         eye = jnp.eye(4, dtype=jnp.float32)
         return PipelineParams(
@@ -102,6 +121,11 @@ class PipelineParams:
             distance_threshold=jnp.asarray(distance_threshold, jnp.float32),
             offset_matrix=eye if offset_matrix is None else jnp.asarray(offset_matrix, jnp.float32),
             tf_matrix=eye if tf_matrix is None else jnp.asarray(tf_matrix, jnp.float32),
+            radius_nb_points=jnp.asarray(radius_nb_points, jnp.float32),
+            radius_search_radius=jnp.asarray(radius_search_radius, jnp.float32),
+            sampling_ratio=jnp.asarray(sampling_ratio, jnp.float32),
+            every_k_points=jnp.asarray(every_k_points, jnp.int32),
+            ground_plane=jnp.asarray(ground_plane, jnp.float32),
         )
 
 
@@ -116,6 +140,7 @@ STAGE_TIMING_KEYS = {
     "crop": "crop",
     "voxel": "voxel_downsampling",
     "outliers": "remove_statistical_outliers",
+    "radius_outliers": "remove_radius_outliers",
     "normals": "normal_estimation",
     "ground": "ground_segmentation",
 }
@@ -164,9 +189,28 @@ def stage_functions(settings: PipelineSettings):
         )
 
     if settings.voxel_downsample:
-        stages.append(
-            ("voxel", lambda b, p, k: (ops.voxel_downsample(b, p.voxel_size), None))
-        )
+        method = settings.downsample_method
+        if method == "voxel":
+            stages.append(
+                ("voxel", lambda b, p, k: (ops.voxel_downsample(b, p.voxel_size), None))
+            )
+        elif method == "random":
+            stages.append(
+                ("voxel", lambda b, p, k: (
+                    ops.random_downsample(b, p.sampling_ratio, k), None))
+            )
+        elif method == "uniform":
+            stages.append(
+                ("voxel", lambda b, p, k: (
+                    ops.uniform_downsample(b, p.every_k_points), None))
+            )
+        elif method == "farthest_point":
+            stages.append(
+                ("voxel", lambda b, p, k: (
+                    ops.farthest_point_downsample(b, settings.fps_num_samples), None))
+            )
+        else:
+            raise ValueError(f"unknown downsample_method {method!r}")
 
     fuse = (
         settings.fuse_neighborhood
@@ -216,6 +260,22 @@ def stage_functions(settings: PipelineSettings):
             )
         )
 
+    if settings.remove_radius_outliers:
+        stages.append(
+            (
+                "radius_outliers",
+                lambda b, p, k: (
+                    ops.remove_radius_outliers(
+                        b,
+                        p.radius_nb_points,
+                        p.radius_search_radius,
+                        method=settings.knn_method,
+                    ),
+                    None,
+                ),
+            )
+        )
+
     if settings.estimate_normals and not fuse:
         stages.append(
             (
@@ -233,15 +293,23 @@ def stage_functions(settings: PipelineSettings):
         )
 
     if settings.remove_ground:
-        def ground(b, p, k):
-            b, plane = ops.remove_ground(
-                b,
-                k,
-                p.distance_threshold,
-                settings.ransac_n,
-                settings.num_iterations,
-            )
-            return b, plane
+        if settings.ground_method == "height":
+            def ground(b, p, k):
+                b = ops.remove_ground_by_height(
+                    b, p.ground_plane, p.distance_threshold
+                )
+                return b, p.ground_plane
+
+        else:
+            def ground(b, p, k):
+                b, plane = ops.remove_ground(
+                    b,
+                    k,
+                    p.distance_threshold,
+                    settings.ransac_n,
+                    settings.num_iterations,
+                )
+                return b, plane
 
         stages.append(("ground", ground))
 
@@ -298,16 +366,21 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         apply_offset_robot=has_offset and frame == "robot",
         crop_to_roi=bool(cfg.get("crop_to_roi", True)),
         voxel_downsample=float(cfg.get("voxel_size", 0.01)) > 0.0,
+        downsample_method=str(cfg.get("downsample_method", "voxel")),
+        fps_num_samples=int(cfg.get("downsample.num_samples", 4096)),
         remove_statistical_outliers=bool(
             cfg.get("remove_statistical_outliers", False)
         ),
         nb_neighbors=int(cfg.get("remove_statistical_outliers.nb_neighbors", 20)),
+        remove_radius_outliers=bool(cfg.get("remove_radius_outliers", False)),
         estimate_normals=bool(cfg.get("estimate_normals", True)),
         max_neighbors=int(cfg.get("estimate_normals.max_neighbors", 30)),
         remove_ground=bool(cfg.get("remove_ground", False)),
+        ground_method=str(cfg.get("remove_ground.method", "ransac")),
         ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),
+        fuse_neighborhood=bool(cfg.get("fuse_neighborhood", True)),
     )
 
 
@@ -329,4 +402,11 @@ def params_from_config(
         distance_threshold=float(cfg.get("remove_ground.distance_threshold", 0.2)),
         offset_matrix=offset,
         tf_matrix=tf_matrix,
+        radius_nb_points=float(cfg.get("remove_radius_outliers.nb_points", 16)),
+        radius_search_radius=float(
+            cfg.get("remove_radius_outliers.search_radius", 0.05)
+        ),
+        sampling_ratio=float(cfg.get("downsample.sampling_ratio", 0.5)),
+        every_k_points=int(cfg.get("downsample.every_k_points", 5)),
+        ground_plane=cfg.get("ground_plane", (0.0, 1.0, 0.0, 0.0)),
     )

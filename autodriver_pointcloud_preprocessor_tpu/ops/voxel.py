@@ -5,8 +5,9 @@ pointcloud_preprocessor.py:509-512) with the TPU-native recipe from
 SURVEY.md §2b: quantize -> sort by voxel key -> segment-mean, with a
 fixed-capacity output. Hash maps are hostile to XLA; a sort + segmented
 reduction is the same O(N log N) work expressed as dense, tileable
-primitives (lexsort 0.2 ms / segment_sum 1.1 ms per channel @131k,
-PERF_NOTES.md).
+primitives. One variadic ``lax.sort`` carries positions, validity, index
+and all float attributes alongside the three voxel keys — post-sort
+gathers cost ~1 ms per row on this backend (PERF_NOTES.md).
 
 Semantics: one output point per occupied voxel at the *mean* of its live
 points; float attributes are averaged, integer attributes (ring,
@@ -44,10 +45,29 @@ def voxel_downsample(buf: ScanBuffer, voxel_size: jax.Array | float) -> ScanBuff
     vy = jnp.where(valid, jnp.floor(y * inv).astype(jnp.int32), big)
     vz = jnp.where(valid, jnp.floor(z * inv).astype(jnp.int32), big)
 
-    # Stable sort by (vx, vy, vz): invalid rows sort last.
-    order = jnp.lexsort((vz, vy, vx))
-    sx, sy, sz = vx[order], vy[order], vz[order]
-    svalid = valid[order]
+    # float rows ride the sort; int attrs are gathered later by first_idx
+    float_attrs = [
+        (name, arr)
+        for name, arr in sorted(buf.attributes.items())
+        if jnp.issubdtype(arr.dtype, jnp.floating)
+    ]
+    float_rows = []
+    row_slices = []  # (name, start, num_rows)
+    for name, arr in float_attrs:
+        rows = arr[None, :] if arr.ndim == 1 else arr
+        row_slices.append((name, len(float_rows), rows.shape[0]))
+        float_rows.extend(rows[c] for c in range(rows.shape[0]))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (vx, vy, vz, x, y, z, valid, idx, *float_rows),
+        num_keys=3,
+        is_stable=True,
+    )
+    sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    px, py, pz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
+    svalid, sidx = sorted_ops[6], sorted_ops[7]
+    sorted_attr_rows = sorted_ops[8:]
 
     new_group = jnp.ones(n, dtype=bool)
     same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
@@ -64,26 +84,27 @@ def voxel_downsample(buf: ScanBuffer, voxel_size: jax.Array | float) -> ScanBuff
         s = jax.ops.segment_sum(row_sorted * w, seg_id, num_segments=n)
         return s / denom
 
-    def seg_mean(arr):
-        """[capacity] or [C, capacity] (already gathered by ``order``)."""
-        if arr.ndim == 1:
-            return seg_mean_row(arr)
-        return jnp.stack([seg_mean_row(arr[c]) for c in range(arr.shape[0])])
-
-    new_pos = seg_mean(buf.positions[:, order].astype(jnp.float32))
+    new_pos = jnp.stack(
+        [seg_mean_row(px), seg_mean_row(py), seg_mean_row(pz)]
+    )
     new_mask = counts > 0
 
     # first (lowest original index) row of each segment, for integer attrs
     first_idx = jax.ops.segment_min(
-        jnp.where(svalid, order, jnp.int32(n - 1)), seg_id, num_segments=n
+        jnp.where(svalid, sidx, jnp.int32(n - 1)), seg_id, num_segments=n
     )
     first_idx = jnp.clip(first_idx, 0, n - 1)
 
     attrs = {}
-    for name, arr in buf.attributes.items():
-        if jnp.issubdtype(arr.dtype, jnp.floating):
-            attrs[name] = seg_mean(arr[..., order]).astype(arr.dtype)
+    for name, start, num_rows in row_slices:
+        means = [seg_mean_row(sorted_attr_rows[start + c]) for c in range(num_rows)]
+        orig = buf.attributes[name]
+        if orig.ndim == 1:
+            attrs[name] = means[0].astype(orig.dtype)
         else:
+            attrs[name] = jnp.stack(means).astype(orig.dtype)
+    for name, arr in buf.attributes.items():
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
             attrs[name] = arr[..., first_idx]
 
     return ScanBuffer(positions=new_pos, mask=new_mask, attributes=attrs)

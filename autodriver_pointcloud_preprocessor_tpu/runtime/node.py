@@ -81,6 +81,15 @@ PARAMETER_DEFAULTS = [
     ("remove_statistical_outliers", False),
     ("remove_statistical_outliers.nb_neighbors", 20),
     ("remove_statistical_outliers.std_ratio", 2.0),
+    # extensions beyond the reference surface (its declared TODOs made real)
+    ("remove_radius_outliers", False),
+    ("remove_radius_outliers.nb_points", 16),
+    ("remove_radius_outliers.search_radius", 0.05),
+    ("downsample_method", "voxel"),
+    ("downsample.sampling_ratio", 0.5),
+    ("downsample.every_k_points", 5),
+    ("downsample.num_samples", 4096),
+    ("remove_ground.method", "ransac"),
     ("estimate_normals", True),
     ("estimate_normals.search_radius", 0.1),
     ("estimate_normals.max_neighbors", 30),
@@ -111,6 +120,11 @@ _ENGINE_KEYS = {
     "crop_to_roi", "crop_to_roi.invert", "roi_min", "roi_max", "voxel_size",
     "remove_statistical_outliers", "remove_statistical_outliers.nb_neighbors",
     "remove_statistical_outliers.std_ratio",
+    "remove_radius_outliers", "remove_radius_outliers.nb_points",
+    "remove_radius_outliers.search_radius",
+    "downsample_method", "downsample.sampling_ratio",
+    "downsample.every_k_points", "downsample.num_samples",
+    "remove_ground.method",
     "estimate_normals", "estimate_normals.search_radius",
     "estimate_normals.max_neighbors",
     "remove_ground", "remove_ground.distance_threshold",
@@ -508,6 +522,12 @@ class PointcloudPreprocessorNode:
                           "remove_statistical_outliers",
                           "remove_statistical_outliers.nb_neighbors",
                           "remove_statistical_outliers.std_ratio",
+                          "remove_radius_outliers",
+                          "remove_radius_outliers.nb_points",
+                          "remove_radius_outliers.search_radius",
+                          "downsample_method", "downsample.sampling_ratio",
+                          "downsample.every_k_points", "downsample.num_samples",
+                          "remove_ground.method",
                           "estimate_normals.search_radius",
                           "estimate_normals.max_neighbors",
                           "remove_ground", "remove_ground.distance_threshold",
