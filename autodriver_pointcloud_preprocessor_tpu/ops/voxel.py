@@ -28,11 +28,18 @@ from ..core.scan import ScanBuffer
 __all__ = ["voxel_downsample"]
 
 
-def voxel_downsample(buf: ScanBuffer, voxel_size: jax.Array | float) -> ScanBuffer:
+def voxel_downsample(
+    buf: ScanBuffer,
+    voxel_size: jax.Array | float,
+    backend: str = "auto",
+) -> ScanBuffer:
     """Average live points within each cubic voxel of edge ``voxel_size``.
 
     ``voxel_size`` is traced (live reconfigure never recompiles); callers
     gate the stage on ``voxel_size > 0`` statically like the reference does.
+    ``backend``: 'pallas' uses the segmented-sum kernel
+    (ops/pallas_segmean.py, ~5x cheaper than scatter-based segment_sum);
+    'xla' is the portable path; 'auto' picks by platform.
     """
     n = buf.capacity
     valid = buf.mask
@@ -73,10 +80,23 @@ def voxel_downsample(buf: ScanBuffer, voxel_size: jax.Array | float) -> ScanBuff
     same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
     new_group = new_group.at[1:].set(jnp.logical_not(same))
     new_group = new_group & svalid
+    w = svalid.astype(jnp.float32)
+
+    if backend == "auto":
+        from .window import default_backend
+
+        backend = "pallas" if (
+            default_backend() == "pallas" and n % 512 == 0
+        ) else "xla"
+
+    if backend in ("pallas", "pallas_interpret"):
+        return _voxel_reduce_pallas(
+            buf, new_group, w, (px, py, pz), sidx, sorted_attr_rows,
+            row_slices, interpret=(backend == "pallas_interpret"),
+        )
+
     seg_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # -1 before first group
     seg_id = jnp.maximum(seg_id, 0)
-
-    w = svalid.astype(jnp.float32)
     counts = jax.ops.segment_sum(w, seg_id, num_segments=n)
     denom = jnp.maximum(counts, 1.0)
 
@@ -98,6 +118,54 @@ def voxel_downsample(buf: ScanBuffer, voxel_size: jax.Array | float) -> ScanBuff
     attrs = {}
     for name, start, num_rows in row_slices:
         means = [seg_mean_row(sorted_attr_rows[start + c]) for c in range(num_rows)]
+        orig = buf.attributes[name]
+        if orig.ndim == 1:
+            attrs[name] = means[0].astype(orig.dtype)
+        else:
+            attrs[name] = jnp.stack(means).astype(orig.dtype)
+    for name, arr in buf.attributes.items():
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
+            attrs[name] = arr[..., first_idx]
+
+    return ScanBuffer(positions=new_pos, mask=new_mask, attributes=attrs)
+
+
+def _voxel_reduce_pallas(
+    buf, new_group, w, sorted_pos, sidx, sorted_attr_rows, row_slices,
+    interpret,
+):
+    """Segment means via the Pallas run-sum kernel (channels of <= 8)."""
+    from .pallas_segmean import segmented_sums_pallas
+
+    px, py, pz = sorted_pos
+    n = buf.capacity
+    flag_f = new_group.astype(jnp.float32)
+    # stable sort => first element of each run has the smallest original
+    # index; flag-masking turns "first index" into a plain run sum
+    first_ch = sidx.astype(jnp.float32) * flag_f
+
+    channels = [w, px * w, py * w, pz * w, first_ch]
+    channels += [row * w for row in sorted_attr_rows]
+
+    sums_rows = []
+    for start in range(0, len(channels), 8):
+        group = jnp.stack(channels[start : start + 8])
+        sums = segmented_sums_pallas(group, new_group, interpret=interpret)
+        sums_rows.extend(sums[c] for c in range(group.shape[0]))
+
+    counts = sums_rows[0]
+    denom = jnp.maximum(counts, 1.0)
+    new_pos = jnp.stack(
+        [sums_rows[1] / denom, sums_rows[2] / denom, sums_rows[3] / denom]
+    )
+    new_mask = counts > 0
+    first_idx = jnp.clip(
+        (sums_rows[4] + 0.5).astype(jnp.int32), 0, n - 1
+    )
+
+    attrs = {}
+    for name, start, num_rows in row_slices:
+        means = [sums_rows[5 + start + c] / denom for c in range(num_rows)]
         orig = buf.attributes[name]
         if orig.ndim == 1:
             attrs[name] = means[0].astype(orig.dtype)

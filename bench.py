@@ -4,9 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 * metric/value: full-pipeline scans/sec on a 128k-point scan (every stage
   enabled: dedup, non-finite, crop, voxel, statistical outliers, normals,
-  RANSAC ground — the BASELINE.json north-star configuration).
-* p50 latency is derived as 1000/value (reported in the human-readable
-  stderr breakdown).
+  RANSAC ground — the BASELINE.json north-star configuration), measured
+  with independent dispatches so the device pipelines scans (streaming
+  deployment behavior). p50 LATENCY is measured separately with a
+  data-dependency chain (no overlap) and drives vs_baseline.
 * vs_baseline: the reference publishes NO numbers (BASELINE.md) and its
   Open3D stack is not installed here; the recorded comparison is against
   the BASELINE.json north-star target of 1 ms p50 per 128k-pt scan:
@@ -102,8 +103,9 @@ def main() -> None:
         pulls.append(time.perf_counter() - t0)
     pull_ms = float(np.median(pulls)) * 1e3
 
-    # steady state: chain K scans via a tiny data dependency, pull once
     K = 20
+    # p50 LATENCY: chain scans through a data dependency so the device
+    # cannot overlap consecutive scans
     times = []
     for rep in range(5):
         t0 = time.perf_counter()
@@ -118,7 +120,18 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     per_scan_ms = (np.median(times) - np.median(pulls)) * 1e3 / K
     per_scan_ms = max(per_scan_ms, 1e-3)
-    scans_per_sec = 1000.0 / per_scan_ms
+
+    # THROUGHPUT: independent dispatches (each scan a fresh key) let the
+    # device pipeline scans — how a deployment actually streams
+    tput = []
+    for rep in range(5):
+        t0 = time.perf_counter()
+        for i in range(K):
+            o, p = fn(buf, params, jax.random.fold_in(key, rep * K + i))
+        pull(o)
+        tput.append(time.perf_counter() - t0)
+    tput_ms = max((np.median(tput) - np.median(pulls)) * 1e3 / K, 1e-3)
+    scans_per_sec = 1000.0 / tput_ms
 
     target_p50_ms = 1.0  # BASELINE.json north star
     result = {
@@ -129,7 +142,8 @@ def main() -> None:
     }
     print(
         f"[bench] compile {compile_s:.1f}s, pull {pull_ms:.1f}ms, "
-        f"p50 {per_scan_ms:.2f}ms/scan, survivors {survivors}, "
+        f"p50 latency {per_scan_ms:.2f}ms/scan, "
+        f"pipelined {tput_ms:.2f}ms/scan, survivors {survivors}, "
         f"plane {np.round(plane, 3).tolist()}",
         file=sys.stderr,
     )
