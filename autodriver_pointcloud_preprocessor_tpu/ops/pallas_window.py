@@ -42,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["window_stats_pallas"]
 
 _BIG = 1e30
-_B = 128  # query block = lane width
+_B = 128  # sweep block: keeps the k-extraction loop carry small (a (window,
+          # 512) carry spills VMEM and measures ~1.5x slower end to end)
+_G = 4  # sweep blocks per grid step: one wide DMA amortizes per-step cost
 _F = 32  # feature rows: 0-7 candidate, 8-23 moment, 24-31 query
 
 
@@ -55,14 +57,16 @@ def _kernel(
     *,
     k: int,
     window: int,
+    qb: int,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
-    center = (window - _B) // 2
+    sub_window = window - (qb - _B)  # candidate span per 128-query sub-block
+    halo = (sub_window - _B) // 2
 
     def window_dma(step, slot):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(step * _B, window)],
+            feat_hbm.at[:, pl.ds(step * qb, window)],
             feat_vmem.at[slot],
             sems.at[slot],
         )
@@ -78,47 +82,55 @@ def _kernel(
     window_dma(i, i % 2).wait()
     feat = feat_vmem[i % 2]
 
-    # (M, B) squared distances (+BIG for invalid candidates) in one matmul.
-    d2 = jax.lax.dot_general(
-        feat[0:8, :],
-        feat[24:32, center : center + _B],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(d2, 0.0)
-
-    # ---- covariance raw moments over in-radius candidates ----
     r2 = r2_ref[0, 0]
-    w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
-    moments = jax.lax.dot_general(
-        feat[8:24, :],
-        w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sub_window, _B), 0)
+    results = []
+    for g in range(qb // _B):
+        cand = feat[0:8, g * _B : g * _B + sub_window]
+        qry = feat[24:32, halo + g * _B : halo + (g + 1) * _B]
 
-    # ---- mean distance of k nearest (min-extraction sweeps) ----
-    # Mask exactly ONE candidate per sweep (argmin one-hot): distinct
-    # candidates can collide at the same float d2, and masking all ties
-    # would skip real neighbors.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, _B), 0)
+        # (sub_window, B) squared distances (+BIG for invalid candidates)
+        # in one matmul
+        d2 = jax.lax.dot_general(
+            cand,
+            qry,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(d2, 0.0)
 
-    def sweep(_, carry):
-        d, acc, cnt = carry
-        mn = jnp.min(d, axis=0, keepdims=True)  # (1, B)
-        amn = jnp.argmin(d, axis=0)  # (B,)
-        hit = mn < _BIG / 2
-        acc = acc + jnp.where(hit, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0)
-        cnt = cnt + jnp.where(hit, 1.0, 0.0)
-        d = jnp.where(rows == amn[None, :], _BIG, d)
-        return d, acc, cnt
+        # ---- covariance raw moments over in-radius candidates ----
+        w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
+        moments = jax.lax.dot_general(
+            feat[8:24, g * _B : g * _B + sub_window],
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-    zero = jnp.zeros((1, _B), jnp.float32)
-    _, acc, cnt = jax.lax.fori_loop(0, k, sweep, (d2, zero, zero))
-    mean = acc / jnp.maximum(cnt, 1.0)
-    mom_ref[:, :] = jnp.concatenate([moments[:10], mean, cnt, moments[12:]])
+        # ---- mean distance of k nearest (min-extraction sweeps) ----
+        # Mask exactly ONE candidate per sweep (argmin one-hot): distinct
+        # candidates can collide at the same float d2, and masking all
+        # ties would skip real neighbors.
+        def sweep(_, carry):
+            d, acc, cnt = carry
+            mn = jnp.min(d, axis=0, keepdims=True)  # (1, B)
+            amn = jnp.argmin(d, axis=0)  # (B,)
+            hit = mn < _BIG / 2
+            acc = acc + jnp.where(hit, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0)
+            cnt = cnt + jnp.where(hit, 1.0, 0.0)
+            d = jnp.where(rows == amn[None, :], _BIG, d)
+            return d, acc, cnt
+
+        zero = jnp.zeros((1, _B), jnp.float32)
+        _, acc, cnt = jax.lax.fori_loop(0, k, sweep, (d2, zero, zero))
+        mean = acc / jnp.maximum(cnt, 1.0)
+        results.append(
+            jnp.concatenate([moments[:10], mean, cnt, moments[12:]])
+        )
+    mom_ref[:, :] = jnp.concatenate(results, axis=1)
 
 
 def _features(x, y, z, valid_f):
@@ -172,10 +184,12 @@ def window_stats_pallas(
          meaningless; callers mask.
     """
     n = sorted_x.shape[-1]
-    assert n % _B == 0, f"sorted length {n} not a multiple of {_B}"
-    nb = n // _B
-    window = (2 * window_blocks + 1) * _B
-    pad = window_blocks * _B
+    qb = _G * _B if n % (_G * _B) == 0 else _B
+    assert n % qb == 0, f"sorted length {n} not a multiple of {qb}"
+    nb = n // qb
+    halo = window_blocks * 128  # candidate halo on each side (128-pt blocks)
+    window = qb + 2 * halo
+    pad = halo
 
     valid_f = sorted_valid.astype(jnp.float32)
     feat = _features(
@@ -193,16 +207,16 @@ def window_stats_pallas(
     r2_arr = jnp.reshape(r2, (1, 1))
 
     packed = pl.pallas_call(
-        functools.partial(_kernel, k=k, window=window),
+        functools.partial(_kernel, k=k, window=window, qb=qb),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (16, _B), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (16, qb), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nb * 16, _B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * 16, qb), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, _F, window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -210,7 +224,7 @@ def window_stats_pallas(
         interpret=interpret,
     )(r2_arr, feat)
 
-    packed = packed.reshape(nb, 16, _B).transpose(1, 0, 2).reshape(16, n)
+    packed = packed.reshape(nb, 16, qb).transpose(1, 0, 2).reshape(16, n)
     mean = packed[10]
     cnt = packed[11]
     mom = packed[:10]

@@ -1,0 +1,231 @@
+"""BASELINE.json config suite: one JSON line per configuration.
+
+The driver's headline bench is bench.py; this suite covers the five
+BASELINE.json configs end to end (KITTI/Velodyne recordings are not
+available in this sandbox — zero egress — so statistically comparable
+synthetic scenes and synthetic VLP-16 captures stand in; scene shapes are
+documented per config).
+
+Usage: python bench_suite.py [--points N] [--reps R]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, pull, reps=3, K=10):
+    out = fn()
+    pull(out)
+    pulls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pull(out)
+        pulls.append(time.perf_counter() - t0)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            out = fn()
+        pull(out)
+        ts.append(time.perf_counter() - t0)
+    return max((np.median(ts) - np.median(pulls)) * 1e3 / K, 1e-3)
+
+
+def _emit(name, ms, extra=None):
+    rec = {
+        "config": name,
+        "p50_ms": round(ms, 3),
+        "scans_per_sec": round(1000.0 / ms, 2),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def _pull_buf(b):
+    return np.asarray(b.mask[:1])
+
+
+def config1_loader_crop_voxel(n_points, reps):
+    """Single Velodyne-style scan: crop-box + voxel-grid downsample."""
+    import jax
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.models import (
+        PipelineParams, PipelineSettings, build_pipeline,
+    )
+    from bench import _scene
+
+    pts = _scene(n_points)
+    buf, _ = from_soa({"positions": pts}, capacity=131_072)
+    settings = PipelineSettings(
+        remove_duplicates=False, remove_nans=True, remove_infs=True,
+        crop_to_roi=True, voxel_downsample=True, estimate_normals=False,
+    )
+    fn = build_pipeline(settings)
+    params = PipelineParams.make(voxel_size=0.08)
+    key = jax.random.PRNGKey(0)
+    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps)
+    _emit("crop+voxel (single scan via loader)", ms)
+
+
+def config2_outliers(n_points, reps):
+    """Voxelized scan + statistical & radius outlier removal."""
+    import jax
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.models import (
+        PipelineParams, PipelineSettings, build_pipeline,
+    )
+    from bench import _scene
+
+    pts = _scene(n_points)
+    buf, _ = from_soa({"positions": pts}, capacity=131_072)
+    settings = PipelineSettings(
+        remove_duplicates=False, crop_to_roi=False, voxel_downsample=True,
+        remove_statistical_outliers=True, nb_neighbors=20,
+        remove_radius_outliers=True,
+        estimate_normals=False, knn_method="window",
+    )
+    fn = build_pipeline(settings)
+    params = PipelineParams.make(
+        voxel_size=0.08, std_ratio=2.0,
+        radius_nb_points=8, radius_search_radius=0.4,
+    )
+    key = jax.random.PRNGKey(0)
+    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps)
+    _emit("voxel + statistical & radius outliers", ms)
+
+
+def config3_ransac(n_points, reps):
+    """RANSAC ground segmentation + non-ground extraction (KITTI-like)."""
+    import jax
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.models import (
+        PipelineParams, PipelineSettings, build_pipeline,
+    )
+    from bench import _scene
+
+    pts = _scene(n_points)
+    buf, _ = from_soa({"positions": pts}, capacity=131_072)
+    settings = PipelineSettings(
+        remove_duplicates=False, crop_to_roi=False, voxel_downsample=False,
+        estimate_normals=False, remove_ground=True, ransac_n=3,
+        num_iterations=100,
+    )
+    fn = build_pipeline(settings)
+    params = PipelineParams.make(distance_threshold=0.12)
+    key = jax.random.PRNGKey(0)
+    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps)
+    _emit("RANSAC ground segmentation (KITTI-like scene)", ms)
+
+
+def config4_concatenator(n_points, reps):
+    """3-LiDAR concatenation: SE(3) extrinsics + merged voxel downsample."""
+    import jax
+    import jax.numpy as jnp
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops import voxel_downsample
+    from autodriver_pointcloud_preprocessor_tpu.parallel import (
+        concatenate_buffers,
+    )
+    from bench import _scene
+
+    per = n_points // 3
+    bufs = []
+    for i in range(3):
+        pts = _scene(per, seed=i)
+        pts = pts[np.isfinite(pts).all(1)]
+        b, _ = from_soa({"positions": pts}, capacity=65_536)
+        bufs.append(b)
+    exts = []
+    for i in range(3):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [i * 2.0, -i, 0.1 * i]
+        exts.append(jnp.asarray(m))
+
+    @jax.jit
+    def merge(bs):
+        merged = concatenate_buffers(bs, exts)
+        return voxel_downsample(merged, 0.08)
+
+    ms = _timeit(lambda: merge(bufs), _pull_buf, reps)
+    _emit("3-LiDAR concat + merged voxel", ms)
+
+
+def config5_pcap_streaming(reps):
+    """PCAP replay through the full node + compressor; x real-time."""
+    sys.path.insert(0, "tests")
+    from test_pcap_compressor import _write_pcap
+
+    from autodriver_pointcloud_preprocessor_tpu.io.compressor import (
+        PointcloudCompressorNode,
+    )
+    from autodriver_pointcloud_preprocessor_tpu.io.loader import (
+        soa_to_pointcloud2,
+    )
+    from autodriver_pointcloud_preprocessor_tpu.io.pcap import VelodynePcapReader
+    from autodriver_pointcloud_preprocessor_tpu.runtime import (
+        PointcloudPreprocessorNode, TopicBus,
+    )
+
+    path = "/tmp/bench_suite.pcap"
+    _write_pcap(path, num_packets=1500)  # ~20 revolutions of VLP-16
+    scans = list(VelodynePcapReader(path).scans())
+    msgs = [soa_to_pointcloud2(s, frame_id="velodyne") for s in scans]
+
+    bus = TopicBus()
+    node = PointcloudPreprocessorNode(
+        bus=bus,
+        overrides={"input_topic": "/velodyne/points", "voxel_size": 0.05,
+                   "estimate_normals": False},
+    )
+    comp = PointcloudCompressorNode(bus, node.output_topic, "/compressed")
+    done = []
+    bus.create_subscription("/compressed", done.append)
+    pub = bus.create_publisher("/velodyne/points")
+
+    pub.publish(msgs[0])  # warm up / compile
+    t0 = time.perf_counter()
+    for m in msgs:
+        pub.publish(m)
+    wall = time.perf_counter() - t0
+    sensor_time = len(msgs) / 10.0  # 10 Hz sensor
+    _emit(
+        "pcap replay: full node + compressor streaming",
+        wall / len(msgs) * 1e3,
+        {"x_realtime_10hz": round(sensor_time / wall, 1),
+         "scans": len(msgs),
+         "compression_ratio": round(comp.last_ratio or 0, 2)},
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=128_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    wanted = {int(c) for c in args.configs.split(",")}
+    if 1 in wanted:
+        config1_loader_crop_voxel(args.points, args.reps)
+    if 2 in wanted:
+        config2_outliers(args.points, args.reps)
+    if 3 in wanted:
+        config3_ransac(args.points, args.reps)
+    if 4 in wanted:
+        config4_concatenator(args.points, args.reps)
+    if 5 in wanted:
+        config5_pcap_streaming(args.reps)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,17 +22,21 @@ def _sorted_cloud(rng, n=512, invalid_tail=12):
     return pts, valid
 
 
-def _windowed_oracle(pts, valid, k, radius, window_blocks=2, B=128):
+def _windowed_oracle(pts, valid, k, radius, window_blocks=2):
+    from autodriver_pointcloud_preprocessor_tpu.ops import pallas_window
+
     n = pts.shape[0]
+    qb = pallas_window._B if n % pallas_window._B == 0 else 128
+    halo = window_blocks * 128
     d2 = ((pts[None, :, :] - pts[:, None, :]) ** 2).sum(-1)
     d2[:, ~valid] = np.inf
     mean = np.zeros(n)
     cnt_r = np.zeros(n)
     moments = np.zeros((10, n))
     for qi in range(n):
-        b = qi // B
-        cand = np.arange(max(0, (b - window_blocks) * B),
-                         min(n, (b + window_blocks + 1) * B))
+        b = qi // qb
+        cand = np.arange(max(0, b * qb - halo),
+                         min(n, b * qb + qb + halo))
         dw = d2[qi, cand]
         finite = np.isfinite(dw)
         top = np.sqrt(np.sort(dw[finite])[:k])
@@ -52,7 +56,7 @@ def _windowed_oracle(pts, valid, k, radius, window_blocks=2, B=128):
 
 
 def test_kernel_vs_windowed_oracle(rng):
-    pts, valid = _sorted_cloud(rng)
+    pts, valid = _sorted_cloud(rng, n=1024, invalid_tail=12)
     k, radius = 8, 0.8
     mean, cnt, mom = window_stats_pallas(
         *(jnp.asarray(pts[:, i]) for i in range(3)),
