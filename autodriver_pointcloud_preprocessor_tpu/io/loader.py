@@ -22,7 +22,7 @@ from .pcd import read_point_cloud
 
 __all__ = ["PointcloudLoader", "soa_to_pointcloud2"]
 
-_EXTS = (".pcd", ".ply", ".xyz", ".xyzn", ".xyzrgb", ".pts")
+_EXTS = (".pcd", ".ply", ".xyz", ".xyzn", ".xyzrgb", ".pts", ".bin")
 
 _SOA_FIELD_TYPES = {
     "intensity": PointFieldType.FLOAT32,

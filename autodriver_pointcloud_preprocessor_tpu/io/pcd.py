@@ -378,6 +378,24 @@ def _read_xyz_family(path: str, variant: str) -> Dict[str, np.ndarray]:
 # public API
 # ---------------------------------------------------------------------------
 
+def _write_kitti_bin(path: str, soa) -> None:
+    """KITTI velodyne .bin: rows of (x, y, z, intensity) float32."""
+    pos = np.asarray(soa["positions"], np.float32)
+    intensity = soa.get("intensity")
+    if intensity is None:
+        intensity = np.zeros(pos.shape[0], np.float32)
+    table = np.column_stack([pos, np.asarray(intensity, np.float32)])
+    table.astype(np.float32).tofile(path)
+
+
+def _read_kitti_bin(path: str) -> Dict[str, np.ndarray]:
+    table = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    return {
+        "positions": np.ascontiguousarray(table[:, :3]),
+        "intensity": np.ascontiguousarray(table[:, 3]),
+    }
+
+
 def write_point_cloud(
     path: str,
     soa: Dict[str, np.ndarray],
@@ -385,7 +403,8 @@ def write_point_cloud(
     compressed: bool = False,
 ) -> None:
     """Write an SoA cloud; format chosen by extension
-    (.pcd/.ply/.xyz/.xyzn/.xyzrgb/.pts, reference :161)."""
+    (.pcd/.ply/.xyz/.xyzn/.xyzrgb/.pts per reference :161, plus KITTI
+    velodyne .bin)."""
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext == "pcd":
         _write_pcd(path, soa, ascii, compressed)
@@ -393,6 +412,8 @@ def write_point_cloud(
         _write_ply(path, soa, ascii)
     elif ext in ("xyz", "xyzn", "xyzrgb", "pts"):
         _write_xyz_family(path, soa, ext)
+    elif ext == "bin":
+        _write_kitti_bin(path, soa)
     else:
         raise ValueError(f"unsupported point-cloud extension .{ext}")
 
@@ -406,4 +427,6 @@ def read_point_cloud(path: str) -> Dict[str, np.ndarray]:
         return _read_ply(path)
     if ext in ("xyz", "xyzn", "xyzrgb", "pts"):
         return _read_xyz_family(path, ext)
+    if ext == "bin":
+        return _read_kitti_bin(path)
     raise ValueError(f"unsupported point-cloud extension .{ext}")

@@ -118,6 +118,33 @@ class Preprocessor:
         )
         return out, metadata
 
+    def process_batch(self, bufs):
+        """Process a list of same-capacity ScanBuffers as ONE vmapped program.
+
+        Multi-stream deployments (one buffer per LiDAR) amortize dispatch
+        and let XLA batch every stage; RANSAC keys differ per scan.
+        Returns (list of ScanBuffers, planes float32[B, 4]).
+        """
+        if not bufs:
+            return [], np.zeros((0, 4), np.float32)
+        from ..models.pipeline import build_pipeline, pipeline_runner
+
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bufs)
+        keys = jax.random.split(
+            jax.random.fold_in(self._key, self._frame), len(bufs)
+        )
+        self._frame += 1
+        fn = _batched_pipeline(self.settings)
+        start = get_current_time(monotonic=True)
+        out, planes = fn(stacked, self.params, keys)
+        self.processing_times["preprocessing_time"] = get_time_difference(
+            start, get_current_time(monotonic=True)
+        )
+        outs = [
+            jax.tree_util.tree_map(lambda x: x[i], out) for i in range(len(bufs))
+        ]
+        return outs, planes
+
     def process_buffer(self, buf: ScanBuffer) -> Tuple[ScanBuffer, jax.Array]:
         """Device buffer in -> device buffer out (the fused hot path)."""
         key = jax.random.fold_in(self._key, self._frame)
@@ -153,6 +180,14 @@ class Preprocessor:
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_pipeline(settings: PipelineSettings):
+    from ..models.pipeline import pipeline_runner
+
+    runner = pipeline_runner(settings)
+    return jax.jit(jax.vmap(runner, in_axes=(0, None, 0)))
 
 
 @functools.lru_cache(maxsize=256)

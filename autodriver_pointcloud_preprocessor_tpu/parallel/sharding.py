@@ -229,7 +229,15 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
         if settings.crop_to_roi:
             buf = ops.crop_box(buf, params.roi_min, params.roi_max, params.crop_invert)
         if settings.voxel_downsample:
-            buf = ops.voxel_downsample(buf, params.voxel_size)  # local voxels
+            if settings.downsample_method == "voxel":
+                buf = ops.voxel_downsample(buf, params.voxel_size)  # local voxels
+            elif settings.downsample_method == "random":
+                shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+                buf = ops.random_downsample(buf, params.sampling_ratio, shard_key)
+            elif settings.downsample_method == "uniform":
+                buf = ops.uniform_downsample(buf, params.every_k_points)
+            else:  # farthest_point: per-shard samples
+                buf = ops.farthest_point_downsample(buf, settings.fps_num_samples)
         if settings.remove_statistical_outliers:
             buf = _sharded_outliers(
                 buf,
@@ -238,20 +246,31 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
                 axis_name,
                 settings.knn_method,
             )
+        if settings.remove_radius_outliers:
+            buf = ops.remove_radius_outliers(
+                buf, params.radius_nb_points, params.radius_search_radius,
+                method=settings.knn_method,
+            )  # local counts; shard-boundary neighborhoods approximate
         if settings.estimate_normals:
             buf = ops.estimate_normals(
                 buf, params.search_radius, settings.max_neighbors,
                 method=settings.knn_method,
             )
         if settings.remove_ground:
-            buf, plane = _sharded_ground(
-                buf,
-                key,
-                params.distance_threshold,
-                settings.ransac_n,
-                settings.num_iterations,
-                axis_name,
-            )
+            if settings.ground_method == "height":
+                buf = ops.remove_ground_by_height(
+                    buf, params.ground_plane, params.distance_threshold
+                )
+                plane = params.ground_plane
+            else:
+                buf, plane = _sharded_ground(
+                    buf,
+                    key,
+                    params.distance_threshold,
+                    settings.ransac_n,
+                    settings.num_iterations,
+                    axis_name,
+                )
         return buf, plane
 
     return local_run

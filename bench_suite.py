@@ -45,7 +45,7 @@ def _emit(name, ms, extra=None):
     }
     if extra:
         rec.update(extra)
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
 
 
 def _pull_buf(b):

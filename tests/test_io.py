@@ -124,3 +124,15 @@ def test_loader_feeds_preprocessor(tmp_path, rng):
     assert len(outputs) == 1
     # default ROI crop (z in ±20) trims a few N(0,10) tail points
     assert 250 < read_points(outputs[0]).shape[0] <= 300
+
+
+def test_kitti_bin_roundtrip(tmp_path, rng):
+    soa = {
+        "positions": rng.normal(0, 10, (500, 3)).astype(np.float32),
+        "intensity": rng.uniform(0, 1, 500).astype(np.float32),
+    }
+    path = str(tmp_path / "000000.bin")
+    write_point_cloud(path, soa)
+    back = read_point_cloud(path)
+    np.testing.assert_array_equal(back["positions"], soa["positions"])
+    np.testing.assert_array_equal(back["intensity"], soa["intensity"])

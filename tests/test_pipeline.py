@@ -160,3 +160,21 @@ def test_preprocessor_tf_applied(rng):
     engine.set_tf_matrix(tf)
     out, _ = engine.process_soa({"positions": pts})
     np.testing.assert_allclose(out["positions"], np.tile([1, 2, 3], (10, 1)), atol=1e-6)
+
+
+def test_preprocessor_batch(rng):
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa, valid_count
+
+    engine = Preprocessor({"voxel_size": 0.3, "estimate_normals": False,
+                           "remove_ground": True})
+    bufs = []
+    for i in range(3):
+        pts = _scene(np.random.default_rng(i), 800, 200)
+        b, _ = from_soa({"positions": pts}, capacity=1024)
+        bufs.append(b)
+    outs, planes = engine.process_batch(bufs)
+    assert len(outs) == 3
+    assert planes.shape == (3, 4)
+    for o, p in zip(outs, np.asarray(planes)):
+        assert 0 < int(valid_count(o)) < 1024
+        assert abs(p[2]) > 0.9
