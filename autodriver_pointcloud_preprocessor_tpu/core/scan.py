@@ -176,28 +176,59 @@ def from_soa(
     return buf, metadata
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _pack_for_egress(attr_spec: tuple):
+    """jitted packer: ScanBuffer -> one float32[(rows), capacity] matrix.
+
+    Every attribute in this framework is exactly representable in float32
+    (ring < 2^16, return_type < 2^8, indices < 2^24), so a single f32
+    matrix carries mask + positions + all attributes in ONE D2H transfer —
+    this backend's D2H costs ~25 ms latency PER PULL (PERF_NOTES.md), so
+    per-array pulls dominated the egress path (measured 8 pulls = ~200 ms).
+    """
+
+    def pack(buf: ScanBuffer) -> jax.Array:
+        rows = [buf.mask.astype(jnp.float32)[None, :], buf.positions]
+        for name, _nrows in attr_spec:
+            arr = buf.attributes[name]
+            arr2 = arr[None, :] if arr.ndim == 1 else arr
+            rows.append(arr2.astype(jnp.float32))
+        return jnp.concatenate(rows, axis=0)
+
+    return jax.jit(pack)
+
+
 def to_soa(buf: ScanBuffer, metadata: Optional[dict] = None) -> Dict[str, np.ndarray]:
-    """Device ScanBuffer -> compacted host SoA dict (the single D2H hop).
+    """Device ScanBuffer -> compacted host SoA dict (ONE D2H transfer).
 
     Invalid rows are dropped; host arrays are point-major (N,)/(N, C) with
     dtypes restored to their host conventions (ring uint16, return_type
     uint8, time float64 rebuilt from ``metadata['time_base']``).
     """
     metadata = metadata or {}
-    mask = np.asarray(buf.mask)
+    attr_spec = tuple(
+        (name, 1 if buf.attributes[name].ndim == 1 else buf.attributes[name].shape[0])
+        for name in sorted(buf.attributes)
+    )
+    packed = np.asarray(_pack_for_egress(attr_spec)(buf))
+
+    mask = packed[0] > 0.5
     out: Dict[str, np.ndarray] = {
-        "positions": np.asarray(buf.positions)[:, mask].T
+        "positions": np.ascontiguousarray(packed[1:4, mask].T)
     }
-    for name, arr in buf.attributes.items():
-        host = np.asarray(arr)
-        host = host[..., mask]
-        if host.ndim == 2:
-            host = host.T
+    row = 4
+    for name, nrows in attr_spec:
+        host = packed[row : row + nrows, mask]
+        row += nrows
+        host = host[0] if nrows == 1 else host.T
         if name == "time":
             host = host.astype(np.float64) + float(metadata.get("time_base", 0.0))
         else:
-            host = host.astype(ATTR_HOST_DTYPES.get(name, host.dtype))
-        out[name] = host
+            host = host.astype(ATTR_HOST_DTYPES.get(name, np.float32))
+        out[name] = np.ascontiguousarray(host)
     return out
 
 

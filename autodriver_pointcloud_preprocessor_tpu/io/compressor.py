@@ -32,6 +32,7 @@ from .loader import soa_to_pointcloud2
 
 __all__ = [
     "compress_soa",
+    "compress_buffer",
     "decompress_soa",
     "PointCloudCodec",
     "PointcloudCompressorNode",
@@ -318,3 +319,117 @@ class PointcloudCompressorNode:
                 self.last_ratio = len(msg.data) / max(len(out.data), 1)
         self.pub.publish(out)
         self.frame_count += 1
+
+
+# ---------------------------------------------------------------------------
+# device-side quantization egress
+# ---------------------------------------------------------------------------
+
+def _device_quantize(qbits: int):
+    """jitted: ScanBuffer -> (packed int16[(3+ceil(A/2)), capacity], bbox f32[8]).
+
+    Runs the codec's lossy step ON DEVICE and emits int16 — the BASELINE
+    north star keeps host<->device traffic to "raw packets in, compressed
+    clouds out", and this backend's D2H link makes float egress the
+    bottleneck (PERF_NOTES.md). Output columns are COMPACTED (live points
+    first); bbox row carries [count, lo_xyz, inv_step_xyz_scale...].
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.scan import ScanBuffer, valid_count
+    from ..ops.compact import compaction_order
+
+    levels = float(2**qbits - 1)
+
+    @jax.jit
+    def quantize(buf: ScanBuffer, intensity_scale: jax.Array):
+        order = compaction_order(buf.mask)
+        n = buf.capacity
+        count = valid_count(buf)
+        live = jnp.arange(n) < count
+
+        big = jnp.float32(3.4e38)
+        rows = []
+        bbox = []
+        for c in range(3):
+            v = buf.positions[c][order]
+            lo = jnp.min(jnp.where(live, v, big))
+            hi = jnp.max(jnp.where(live, v, -big))
+            scale = levels / jnp.maximum(hi - lo, 1e-30)
+            q = jnp.clip((v - lo) * scale + 0.5, 0.0, levels)
+            # int16 with offset so qbits<=15 fits: store q - 2^(qbits-1)
+            rows.append((q.astype(jnp.int32) - 2 ** (qbits - 1)).astype(jnp.int16))
+            bbox.extend([lo, 1.0 / scale])
+        inten = buf.attributes.get("intensity")
+        if inten is not None:
+            iq = jnp.round(
+                jnp.clip(inten[order] * intensity_scale, -32767.0, 32767.0)
+            )
+            rows.append(iq.astype(jnp.int16))
+        packed = jnp.stack(rows)
+        meta = jnp.stack(
+            [count.astype(jnp.float32)] + bbox
+        )
+        return packed, meta
+
+    return quantize
+
+
+_DEVQ_CACHE = {}
+
+
+def compress_buffer(
+    buf,
+    quantization_bits: int = 14,
+    level: int = 6,
+    intensity_scale: float = 1.0,
+) -> bytes:
+    """Compress a DEVICE ScanBuffer: quantize on TPU, transfer int16 only.
+
+    Positions-and-intensity profile (the high-rate streaming path); the
+    wire format matches compress_soa's container so decompress_soa reads
+    it. Transfers ~8 bytes/point instead of ~32 (float egress).
+    """
+    import jax.numpy as jnp
+
+    key = quantization_bits
+    fn = _DEVQ_CACHE.get(key)
+    if fn is None:
+        fn = _device_quantize(quantization_bits)
+        _DEVQ_CACHE[key] = fn
+    has_intensity = buf.attributes.get("intensity") is not None
+    packed, meta = fn(buf, jnp.float32(intensity_scale))
+    packed = np.asarray(packed)  # ONE small D2H (int16)
+    meta = np.asarray(meta)
+
+    n = int(meta[0])
+    offset = 2 ** (quantization_bits - 1)
+    q = packed[:3, :n].astype(np.int32) + offset
+    lo = meta[[1, 3, 5]].astype(np.float64)
+    step = meta[[2, 4, 6]].astype(np.float64)
+
+    out = bytearray()
+    out += _MAGIC
+    out += struct.pack("<BBIB", _VERSION, 0, n, quantization_bits)
+    out += struct.pack("<6d", *lo, *step)
+    for c in range(3):
+        stream = zlib.compress(_encode_i32_stream(q[c]), level)
+        out += struct.pack("<I", len(stream)) + stream
+
+    attrs = []
+    if has_intensity:
+        inten = (
+            packed[3, :n].astype(np.float32) / np.float32(intensity_scale)
+        )
+        attrs.append(("intensity", inten))
+    out += struct.pack("<B", len(attrs))
+    for name, arr in attrs:
+        body = zlib.compress(np.ascontiguousarray(arr).tobytes(), level)
+        nm = name.encode()
+        out += struct.pack("<B", len(nm)) + nm + struct.pack(
+            "<BBI", _DTYPE_CODES[arr.dtype], 0, len(body)
+        ) + body
+    return bytes(out)

@@ -1,0 +1,290 @@
+"""StreamingEngine: the BASELINE north-star data path.
+
+"pointcloud_loader and pcap_player feed device-resident scans so the only
+host<->device traffic is raw packets in and compressed clouds out"
+(BASELINE.json north_star). One fused program per scan:
+
+  packet bytes (u8, ~1.2 KB/packet) --H2D--> device Velodyne decode
+  --> full preprocessing pipeline --> device quantization
+  --int16, ~8 B/pt--D2H--> host varint+DEFLATE --> APCZ blob
+
+The host only restructures packet bytes with numpy strided views (free),
+runs the final entropy stage (native sidecar), and splits revolutions by
+peeking block azimuths (24 of 1206 bytes per packet).
+
+Per 28.8k-point VLP-16 scan this moves ~90 KB up and ~170 KB down instead
+of ~1 MB each way for float SoA egress — the difference between 0.5x and
+>5x real-time on this sandbox's ~20 MB/s host link, and less host-link
+pressure on any deployment.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scan import ScanBuffer
+from ..models.pipeline import (
+    PipelineParams,
+    PipelineSettings,
+    params_from_config,
+    pipeline_runner,
+    settings_from_config,
+)
+from .pcap import _ELEVATIONS, _PAYLOAD, VLP16, _read_payloads
+
+__all__ = ["StreamingEngine"]
+
+
+def _split_packet_fields(payloads: np.ndarray) -> np.ndarray:
+    """(P, 1206) u8 -> ONE (1176, P) u8 field matrix (host strided copies).
+
+    Row layout: az_lo(12), az_hi(12), d_lo(384), d_hi(384), refl(384) —
+    packet index in the lane axis so the device never transposes, and the
+    whole scan ships in a single H2D transfer (each transfer costs ~25 ms
+    latency on this backend, PERF_NOTES.md).
+    """
+    p = payloads.shape[0]
+    blocks = payloads[:, :1200].reshape(p, 12, 100)
+    ch = blocks[:, :, 4:100].reshape(p, 12, 32, 3)
+    return np.concatenate(
+        [
+            blocks[:, :, 2].T,  # az_lo (12, P)
+            blocks[:, :, 3].T,  # az_hi (12, P)
+            ch[:, :, :, 0].reshape(p, 384).T,  # d_lo (384, P)
+            ch[:, :, :, 1].reshape(p, 384).T,  # d_hi (384, P)
+            ch[:, :, :, 2].reshape(p, 384).T,  # refl (384, P)
+        ]
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_fn(model: str, packet_bucket: int):
+    """jitted device decode: (1176, P) byte matrix -> ScanBuffer.
+
+    Point ordering is laser-major (flat index = j * P + pkt where
+    j = blk * 32 + laser): every field row flattens without a transpose.
+    """
+    elev_host = np.deg2rad(_ELEVATIONS[model]).astype(np.float32)
+    n_pts = packet_bucket * 384
+
+    def decode(packed, stamp_off, n_packets, min_range, max_range):
+        pb = packet_bucket
+        az_lo = packed[0:12].astype(jnp.float32)  # (12, P)
+        az_hi = packed[12:24].astype(jnp.float32)
+        az_raw = az_lo + az_hi * 256.0
+        if model == VLP16:
+            # next block's azimuth (within packet; last extrapolates)
+            az_next = jnp.concatenate(
+                [az_raw[1:], (az_raw[-1] + (az_raw[-1] - az_raw[-2]))[None]]
+            )
+            daz = (az_next - az_raw) % 36000.0
+        dist = (
+            packed[24:408].astype(jnp.float32)
+            + packed[408:792].astype(jnp.float32) * 256.0
+        ).reshape(-1) * 0.002  # [384 * P], laser-major
+        inten = packed[792:1176].astype(jnp.float32).reshape(-1)
+
+        pt = jnp.arange(n_pts, dtype=jnp.int32)
+        j = pt // pb  # channel slot 0..383
+        pkt = pt % pb
+        blk = j // 32
+        laser = j % 32
+
+        az_b = az_raw.reshape(-1)[blk * pb + pkt]
+        if model == VLP16:
+            ring = laser % 16
+            seq = (laser // 16).astype(jnp.float32)
+            daz_b = daz.reshape(-1)[blk * pb + pkt]
+            az = (az_b + 0.5 * daz_b * seq) % 36000.0
+        else:
+            ring = laser
+            az = az_b % 36000.0
+
+        az_rad = az * jnp.float32(np.pi / 18000.0)
+        el = jnp.asarray(elev_host)[ring]
+        cos_el = jnp.cos(el)
+        x = dist * cos_el * jnp.sin(az_rad)
+        y = dist * cos_el * jnp.cos(az_rad)
+        z = dist * jnp.sin(el)
+
+        valid = (
+            (dist >= min_range)
+            & (dist <= max_range)
+            & (pkt < n_packets)
+        )
+        time_off = stamp_off[pkt]
+        attrs = {
+            "intensity": inten,
+            "ring": ring.astype(jnp.int32),
+            "time": time_off,
+            "azimuth": az / 100.0,
+            "distance": dist,
+        }
+        return ScanBuffer(
+            positions=jnp.stack([x, y, z]), mask=valid, attributes=attrs
+        )
+
+    return decode
+
+
+@functools.lru_cache(maxsize=16)
+def _quantize_body(qbits: int):
+    from ..core.scan import valid_count
+    from ..ops.compact import compaction_order
+
+    levels = float(2**qbits - 1)
+
+    def quantize(buf: ScanBuffer, intensity_scale):
+        order = compaction_order(buf.mask)
+        n = buf.capacity
+        count = valid_count(buf)
+        live = jnp.arange(n) < count
+        big = jnp.float32(3.4e38)
+        rows, bbox = [], []
+        for c in range(3):
+            v = buf.positions[c][order]
+            lo = jnp.min(jnp.where(live, v, big))
+            hi = jnp.max(jnp.where(live, v, -big))
+            scale = levels / jnp.maximum(hi - lo, 1e-30)
+            q = jnp.clip((v - lo) * scale + 0.5, 0.0, levels)
+            rows.append((q.astype(jnp.int32) - 2 ** (qbits - 1)).astype(jnp.int16))
+            bbox.extend([lo, 1.0 / scale])
+        inten = buf.attributes.get("intensity")
+        if inten is not None:
+            iq = jnp.round(
+                jnp.clip(inten[order] * intensity_scale, -32767.0, 32767.0)
+            )
+            rows.append(iq.astype(jnp.int16))
+        return jnp.stack(rows), jnp.stack([count.astype(jnp.float32)] + bbox)
+
+    return quantize
+
+
+class StreamingEngine:
+    """PCAP/UDP packets -> preprocessed, compressed clouds, device-resident.
+
+    Args:
+        config: reference-named pipeline parameters (like Preprocessor).
+        model: 'VLP16' or 'HDL32E'.
+        packet_bucket: packets-per-scan capacity (static; 80 covers a
+            10 Hz VLP-16 revolution with margin).
+        quantization_bits: codec quantization for the compressed egress.
+    """
+
+    def __init__(
+        self,
+        config: Optional[Dict[str, object]] = None,
+        model: str = VLP16,
+        packet_bucket: int = 80,
+        quantization_bits: int = 14,
+        min_range: float = 0.4,
+        max_range: float = 130.0,
+        seed: int = 0,
+    ):
+        self.config = dict(config or {})
+        self.model = model
+        self.packet_bucket = packet_bucket
+        self.qbits = quantization_bits
+        self.min_range = min_range
+        self.max_range = max_range
+        self.settings: PipelineSettings = settings_from_config(self.config)
+        self.params: PipelineParams = params_from_config(self.config)
+        self._key = jax.random.PRNGKey(seed)
+        self._frame = 0
+        self._fn = None
+
+    def _full_fn(self):
+        if self._fn is not None:
+            return self._fn
+        decode = _decode_fn(self.model, self.packet_bucket)
+        runner = pipeline_runner(self.settings)
+        quantize = _quantize_body(self.qbits)
+
+        @jax.jit
+        def full(packed, stamp_off, n_packets, params, key, intensity_scale):
+            buf = decode(
+                packed, stamp_off, n_packets,
+                jnp.float32(self.min_range), jnp.float32(self.max_range),
+            )
+            buf, plane = runner(buf, params, key)
+            packed, meta = quantize(buf, intensity_scale)
+            return packed, meta, plane
+
+        self._fn = full
+        return full
+
+    # -- per-scan ---------------------------------------------------------
+
+    def process_scan_packets(
+        self, payloads: np.ndarray, stamps: np.ndarray,
+        intensity_scale: float = 1.0,
+    ) -> bytes:
+        """One revolution's packets -> APCZ compressed blob."""
+        import struct
+        import zlib
+
+        from .compressor import _DTYPE_CODES, _MAGIC, _VERSION, _encode_i32_stream
+
+        pb = self.packet_bucket
+        p = payloads.shape[0]
+        if p > pb:
+            payloads, stamps = payloads[:pb], stamps[:pb]
+            p = pb
+        fields = _split_packet_fields(payloads)  # (1176, p)
+        fields_pad = np.zeros((1176, pb), np.uint8)
+        fields_pad[:, :p] = fields
+        base = float(stamps.min()) if p else 0.0
+        stamp_off = np.zeros(pb, np.float32)
+        stamp_off[:p] = (stamps - base).astype(np.float32)
+
+        key = jax.random.fold_in(self._key, self._frame)
+        self._frame += 1
+        packed, meta, plane = self._full_fn()(
+            jnp.asarray(fields_pad), jnp.asarray(stamp_off), jnp.int32(p),
+            self.params, key, jnp.float32(intensity_scale),
+        )
+        packed = np.asarray(packed)  # the ONE D2H: int16 rows
+        meta = np.asarray(meta)
+
+        n = int(meta[0])
+        offset = 2 ** (self.qbits - 1)
+        q = packed[:3, :n].astype(np.int32) + offset
+        lo = meta[[1, 3, 5]].astype(np.float64)
+        step = meta[[2, 4, 6]].astype(np.float64)
+
+        out = bytearray()
+        out += _MAGIC
+        out += struct.pack("<BBIB", _VERSION, 0, n, self.qbits)
+        out += struct.pack("<6d", *lo, *step)
+        for c in range(3):
+            stream = zlib.compress(_encode_i32_stream(q[c]), 6)
+            out += struct.pack("<I", len(stream)) + stream
+        inten = (packed[3, :n].astype(np.float32) / np.float32(intensity_scale))
+        body = zlib.compress(np.ascontiguousarray(inten).tobytes(), 6)
+        out += struct.pack("<B", 1)
+        out += struct.pack("<B", len(b"intensity")) + b"intensity"
+        out += struct.pack("<BBI", _DTYPE_CODES[np.dtype(np.float32)], 0, len(body))
+        out += body
+        return bytes(out)
+
+    # -- replay -----------------------------------------------------------
+
+    def replay_pcap(self, path: str) -> Iterator[bytes]:
+        """Yield one compressed blob per revolution of a capture."""
+        payloads, stamps = _read_payloads(path)
+        if payloads.shape[0] == 0:
+            return
+        # revolution split from block-0 azimuths (24 peeked bytes/packet)
+        az0 = (
+            payloads[:, 2].astype(np.int32)
+            | (payloads[:, 3].astype(np.int32) << 8)
+        )
+        wraps = np.flatnonzero(np.diff(az0) < -18000) + 1
+        bounds = [0, *wraps.tolist(), payloads.shape[0]]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b > a:
+                yield self.process_scan_packets(payloads[a:b], stamps[a:b])

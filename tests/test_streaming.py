@@ -1,0 +1,89 @@
+"""StreamingEngine tests: device decode parity + end-to-end compressed replay."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from autodriver_pointcloud_preprocessor_tpu.io.compressor import decompress_soa
+from autodriver_pointcloud_preprocessor_tpu.io.pcap import (
+    VelodynePcapReader,
+    decode_packets,
+    _read_payloads,
+)
+from autodriver_pointcloud_preprocessor_tpu.io.streaming import (
+    StreamingEngine,
+    _decode_fn,
+    _split_packet_fields,
+)
+from test_pcap_compressor import _write_pcap
+
+
+def test_device_decode_matches_numpy(tmp_path):
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "s.pcap")
+    _write_pcap(path, num_packets=20)
+    payloads, stamps = _read_payloads(path)
+    ref = decode_packets(payloads, stamps, min_range=0.4, max_range=130.0)
+
+    pb = 32
+    fields = _split_packet_fields(payloads)
+    fields_pad = np.zeros((1176, pb), np.uint8)
+    fields_pad[:, : payloads.shape[0]] = fields
+    base = stamps.min()
+    so = np.zeros(pb, np.float32)
+    so[: stamps.shape[0]] = (stamps - base).astype(np.float32)
+    buf = _decode_fn("VLP16", pb)(
+        jnp.asarray(fields_pad), jnp.asarray(so), jnp.int32(20),
+        jnp.float32(0.4), jnp.float32(130.0),
+    )
+    mask = np.asarray(buf.mask)
+    got = np.asarray(buf.positions).T[mask]
+    assert got.shape[0] == ref["positions"].shape[0]
+    # point ORDER is laser-major on device vs packet-major in the numpy
+    # reference: compare as sorted sets + attribute-consistent rows
+    gs = got[np.lexsort(got.T)]
+    rs = ref["positions"][np.lexsort(ref["positions"].T)]
+    np.testing.assert_allclose(gs, rs, atol=1e-3)
+    assert sorted(np.asarray(buf.attributes["ring"])[mask]) == sorted(ref["ring"])
+    np.testing.assert_allclose(
+        np.sort(np.asarray(buf.attributes["intensity"])[mask]),
+        np.sort(ref["intensity"]),
+    )
+
+
+def test_streaming_engine_replay(tmp_path):
+    path = str(tmp_path / "s.pcap")
+    _write_pcap(path, num_packets=160)  # ~2 revolutions
+    engine = StreamingEngine(
+        {"voxel_size": 0.0, "estimate_normals": False, "crop_to_roi": False,
+         "remove_duplicates": False},
+        packet_bucket=80,
+    )
+    blobs = list(engine.replay_pcap(path))
+    assert len(blobs) >= 2
+    # decompress and check geometry: synthetic capture is a 10 m ring
+    soa = decompress_soa(blobs[0])
+    r = np.linalg.norm(soa["positions"], axis=1)
+    assert soa["positions"].shape[0] > 1000
+    np.testing.assert_allclose(r, 10.0, atol=0.02)
+    assert "intensity" in soa
+    np.testing.assert_allclose(soa["intensity"], 42.0, atol=0.51)
+
+
+def test_streaming_engine_with_pipeline(tmp_path):
+    path = str(tmp_path / "s.pcap")
+    _write_pcap(path, num_packets=80)
+    # enable voxel so the pipeline actually reduces the cloud
+    engine = StreamingEngine(
+        {"voxel_size": 0.5, "estimate_normals": False, "crop_to_roi": True,
+         "roi_min": [-50.0, -50.0, -50.0], "roi_max": [50.0, 50.0, 50.0]},
+        packet_bucket=80,
+    )
+    payloads, stamps = _read_payloads(path)
+    blob = engine.process_scan_packets(payloads, stamps)
+    soa = decompress_soa(blob)
+    full = 80 * 384
+    assert 0 < soa["positions"].shape[0] < full  # voxel reduced it
