@@ -111,21 +111,29 @@ def _kernel(
         )
 
         # ---- mean distance of k nearest (min-extraction sweeps) ----
-        # Mask exactly ONE candidate per sweep (argmin one-hot): distinct
-        # candidates can collide at the same float d2, and masking all
-        # ties would skip real neighbors.
+        # Pack the candidate row index into the low 11 mantissa bits of d2:
+        # packed values are then UNIQUE, so each sweep is just a min plus
+        # an equality mask (no argmin pass, no tie ambiguity). d2 >= 0 so
+        # the f32 bit pattern is order-preserving; zeroing 11 low mantissa
+        # bits costs 2^-12 relative distance error (below the matmul
+        # cancellation noise).
+        d2i = pltpu.bitcast(d2, jnp.int32)
+        packed_d = pltpu.bitcast((d2i & ~2047) | rows, jnp.float32)
+
         def sweep(_, carry):
             d, acc, cnt = carry
-            mn = jnp.min(d, axis=0, keepdims=True)  # (1, B)
-            amn = jnp.argmin(d, axis=0)  # (B,)
+            mn = jnp.min(d, axis=0, keepdims=True)  # (1, B), unique values
             hit = mn < _BIG / 2
-            acc = acc + jnp.where(hit, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0)
+            dist2 = pltpu.bitcast(
+                pltpu.bitcast(mn, jnp.int32) & ~2047, jnp.float32
+            )
+            acc = acc + jnp.where(hit, jnp.sqrt(jnp.maximum(dist2, 0.0)), 0.0)
             cnt = cnt + jnp.where(hit, 1.0, 0.0)
-            d = jnp.where(rows == amn[None, :], _BIG, d)
+            d = jnp.where(d == mn, _BIG, d)
             return d, acc, cnt
 
         zero = jnp.zeros((1, _B), jnp.float32)
-        _, acc, cnt = jax.lax.fori_loop(0, k, sweep, (d2, zero, zero))
+        _, acc, cnt = jax.lax.fori_loop(0, k, sweep, (packed_d, zero, zero))
         mean = acc / jnp.maximum(cnt, 1.0)
         results.append(
             jnp.concatenate([moments[:10], mean, cnt, moments[12:]])

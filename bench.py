@@ -47,6 +47,11 @@ def _scene(n: int, seed: int = 0) -> np.ndarray:
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the 1-4 min
+    # XLA compile of the fused pipeline
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from autodriver_pointcloud_preprocessor_tpu.core import from_soa, valid_count

@@ -204,6 +204,10 @@ def config5_pcap_streaming(reps):
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=128_000)
     ap.add_argument("--reps", type=int, default=3)
