@@ -66,6 +66,9 @@ class PipelineSettings:
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
+    #: Hilbert-window passes for approximate neighborhoods: more passes =
+    #: better recall (axis-permuted curves min-merged), linear cost
+    neighborhood_passes: int = 2
     #: when outliers AND normals are both enabled on the window path, run
     #: them as ONE shared neighborhood sweep (ops/window.py
     #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
@@ -230,6 +233,7 @@ def stage_functions(settings: PipelineSettings):
                 b.mask,
                 k=settings.nb_neighbors,
                 radius=p.search_radius,
+                passes=settings.neighborhood_passes,
             )
             # global outlier threshold (reference :514-519 semantics)
             valid = b.mask
@@ -380,6 +384,7 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),
+        neighborhood_passes=int(cfg.get("neighborhood_passes", 2)),
         fuse_neighborhood=bool(cfg.get("fuse_neighborhood", True)),
     )
 

@@ -213,3 +213,34 @@ def test_transform_buffer_chain_and_errors():
     tfb.set_transform("x", "y", matrix=np.eye(4, dtype=np.float32))
     with pytest.raises(ConnectivityException):
         tfb.lookup_transform("a", "y")
+
+
+def test_reconfigure_use_gpu_accepted():
+    # reference probes CUDA (:857-881); here the flag is accepted and the
+    # engine stays on the XLA device — reconfigure must not fail
+    node, _, _ = _make_node()
+    results = node.set_parameters([Parameter("use_gpu", True)])
+    assert results[0].successful
+    results = node.set_parameters([Parameter("use_gpu", False)])
+    assert results[0].successful
+
+
+def test_tf_extrapolation_passthrough():
+    # stale transform + stamped lookup -> ExtrapolationException -> scan
+    # passes through untransformed (reference :726-728 semantics)
+    node, bus, outputs = _make_node(robot_frame="base_link")
+    node.tf_buffer.cache_time = 0.05
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, 3] = [5.0, 0, 0]
+    node.tf_buffer.set_transform("base_link", "velodyne", matrix=tf, stamp=0.0)
+    msg = _velodyne_msg()  # stamp = 10.0 -> far outside cache_time
+    bus.create_publisher(node.input_topic).publish(msg)
+    assert len(outputs) == 1
+    assert outputs[0].header.frame_id == "velodyne"  # untransformed
+
+
+def test_type_mismatch_rejected():
+    node, _, _ = _make_node()
+    results = node.set_parameters([Parameter("voxel_size", "not-a-number")])
+    assert not results[0].successful
+    assert "type mismatch" in results[0].reason
