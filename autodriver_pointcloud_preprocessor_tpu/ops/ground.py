@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..core.scan import ScanBuffer, valid_count
 from .compact import compaction_order
+from .linalg import smallest_eigvec_entries as _smallest_eigvec_entries
 
 __all__ = ["segment_plane", "remove_ground"]
 
@@ -53,61 +54,6 @@ def _fit_planes_batched(sx, sy, sz) -> Tuple[jax.Array, jax.Array]:
     nx, ny, nz = _smallest_eigvec_entries(a00, a11, a22, a01, a02, a12)
     d = -(nx * cx + ny * cy + nz * cz)
     return jnp.stack([nx, ny, nz]), d
-
-
-def _smallest_eigvec_entries(a00, a11, a22, a01, a02, a12):
-    """Closed-form smallest eigenvector of symmetric 3x3 given entry vectors.
-
-    Vector-of-entries variant of ops/linalg.smallest_eigenvector_sym3x3,
-    avoiding any [..., 3, 3] minor-dim layout (PERF_NOTES.md).
-    """
-    q = (a00 + a11 + a22) / 3.0
-    p1 = a01 * a01 + a02 * a02 + a12 * a12
-    d0, d1, d2 = a00 - q, a11 - q, a22 - q
-    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
-    safe_p = jnp.where(p > 0, p, 1.0)
-    b00, b11, b22 = d0 / safe_p, d1 / safe_p, d2 / safe_p
-    b01, b02, b12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
-    detb = (
-        b00 * (b11 * b22 - b12 * b12)
-        - b01 * (b01 * b22 - b12 * b02)
-        + b02 * (b01 * b12 - b11 * b02)
-    )
-    r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-
-    # rows of (A - lam I); eigenvector = largest cross product of row pairs
-    r0x, r0y, r0z = a00 - lam, a01, a02
-    r1x, r1y, r1z = a01, a11 - lam, a12
-    r2x, r2y, r2z = a02, a12, a22 - lam
-
-    def cross(ax, ay, az, bx, by, bz):
-        return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
-
-    c01 = cross(r0x, r0y, r0z, r1x, r1y, r1z)
-    c02 = cross(r0x, r0y, r0z, r2x, r2y, r2z)
-    c12 = cross(r1x, r1y, r1z, r2x, r2y, r2z)
-
-    def norm2(c):
-        return c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
-
-    n01, n02, n12 = norm2(c01), norm2(c02), norm2(c12)
-    use01 = (n01 >= n02) & (n01 >= n12)
-    use02 = (~use01) & (n02 >= n12)
-
-    def pick(i):
-        return jnp.where(use01, c01[i], jnp.where(use02, c02[i], c12[i]))
-
-    vx, vy, vz = pick(0), pick(1), pick(2)
-    nrm = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 0.0))
-    ok = (nrm > 1e-20) & (p > 0)
-    safe = jnp.where(nrm > 0, nrm, 1.0)
-    vx = jnp.where(ok, vx / safe, 0.0)
-    vy = jnp.where(ok, vy / safe, 0.0)
-    vz = jnp.where(ok, vz / safe, 1.0)
-    return vx, vy, vz
 
 
 def _plane_distances(x, y, z, nx, ny, nz, d):

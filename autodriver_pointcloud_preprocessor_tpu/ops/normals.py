@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.scan import ScanBuffer
-from .ground import _smallest_eigvec_entries
+from .linalg import smallest_eigvec_entries as _smallest_eigvec_entries
 from .knn import knn_exact
 from .window import window_normal_stats
 

@@ -219,7 +219,7 @@ def window_stats_pallas(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (16, qb), lambda i: (i, 0), memory_space=pltpu.VMEM

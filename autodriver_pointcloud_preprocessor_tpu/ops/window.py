@@ -267,7 +267,6 @@ def fused_neighborhood_stats(
     true outliers are out-of-radius for their neighbors, so the normals
     are statistically unchanged).
     """
-    from .ground import _smallest_eigvec_entries
     from .normals import _normals_from_entries
 
     if backend == "auto":

@@ -36,7 +36,8 @@ from ..core.scan import ScanBuffer
 from ..models.pipeline import PipelineParams, PipelineSettings
 from .. import ops
 from ..ops.compact import compaction_order
-from ..ops.ground import _fit_planes_batched, _smallest_eigvec_entries
+from ..ops.ground import _fit_planes_batched
+from ..ops.linalg import smallest_eigvec_entries as _smallest_eigvec_entries
 from ..ops.window import window_mean_knn_dist
 
 __all__ = [
