@@ -102,6 +102,30 @@ class CompressedPointCloud2:
 
 
 @dataclasses.dataclass
+class Marker:
+    """``visualization_msgs/Marker`` analog (ARROW markers for normals)."""
+
+    ARROW = 0
+    ADD = 0
+
+    header: Header = dataclasses.field(default_factory=Header)
+    ns: str = ""
+    id: int = 0
+    type: int = 0
+    action: int = 0
+    points: list = dataclasses.field(default_factory=list)  # [(x,y,z), ...]
+    scale: tuple = (0.01, 0.02, 0.0)
+    color_rgba: tuple = (0.1, 0.9, 0.2, 1.0)
+
+
+@dataclasses.dataclass
+class MarkerArray:
+    """``visualization_msgs/MarkerArray`` analog."""
+
+    markers: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class TransformStamped:
     """``geometry_msgs/TransformStamped`` analog (translation + quaternion)."""
 

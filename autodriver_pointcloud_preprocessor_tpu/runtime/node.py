@@ -29,7 +29,15 @@ import numpy as np
 
 from ..core.codec import pointcloud_to_dict, soa_to_structured
 from ..core.fields import FIELD_DTYPE_MAP
-from ..core.msg import Header, PointCloud2, PointField, Time, make_pointcloud2
+from ..core.msg import (
+    Header,
+    Marker,
+    MarkerArray,
+    PointCloud2,
+    PointField,
+    Time,
+    make_pointcloud2,
+)
 from ..core.timing import get_current_time, get_time_difference
 from ..core.codec import build_pointfields
 from ..models.preprocessor import Preprocessor
@@ -102,6 +110,10 @@ PARAMETER_DEFAULTS = [
     ("use_height", True),                      # reference (:184-185) — kept
     ("override_header", False),
     ("override_header.stamp_source", "latest"),
+    ("publish_normals_markers", False),
+    ("normals_marker_topic", "/normals_markers"),
+    ("normals_marker_stride", 50),
+    ("normals_marker_length", 0.3),
     ("visualize", False),
     ("visualize.window_name", "Open3D"),
     ("visualize.window_width", 1920),
@@ -216,6 +228,8 @@ class PointcloudPreprocessorNode:
         self.frame_count = 0
         self.latest_output: Optional[PointCloud2] = None
 
+        self.publish_normals_markers = g("publish_normals_markers")
+
         # -- transport --------------------------------------------------------
         self.qos_profile = qos_from_name(self.qos, self.queue_size)
         self.enabled = enabled
@@ -226,6 +240,9 @@ class PointcloudPreprocessorNode:
             )
             self.pointcloud_pub = self.bus.create_publisher(
                 self.output_topic, self.qos_profile
+            )
+            self.normals_marker_pub = self.bus.create_publisher(
+                g("normals_marker_topic"), self.qos_profile
             )
             self.logger.info(
                 "%s node started on device: %s", self.node_name, _device_name()
@@ -286,6 +303,7 @@ class PointcloudPreprocessorNode:
             pcd_number = str(self.frame_count).zfill(8)
             self.pointcloud_saver(pcd_number, out_soa)
             self.pointcloud_visualizer(pcd_number, out_soa)
+            self.publish_normals_marker_array(out_soa, new_header)
 
             self.frame_count += 1
             self.processing_times["total_callback_time"] = get_time_difference(
@@ -436,6 +454,31 @@ class PointcloudPreprocessorNode:
         )
         plt.close(fig)
 
+    def publish_normals_marker_array(self, out_soa, header) -> None:
+        """Publish normals as ARROW markers (the reference declared this
+        capability as an empty stub, pointcloud_preprocessor.py:814-815,
+        with visualization_msgs in package.xml:13)."""
+        if not self.publish_normals_markers:
+            return
+        normals = out_soa.get("normals")
+        if normals is None:
+            return
+        stride = max(int(self.params.get("normals_marker_stride")), 1)
+        length = float(self.params.get("normals_marker_length"))
+        pos = out_soa["positions"][::stride]
+        nrm = normals[::stride]
+        markers = [
+            Marker(
+                header=header,
+                ns="normals",
+                id=i,
+                type=Marker.ARROW,
+                points=[tuple(p), tuple(p + length * v)],
+            )
+            for i, (p, v) in enumerate(zip(pos, nrm))
+        ]
+        self.normals_marker_pub.publish(MarkerArray(markers=markers))
+
     # -------------------------------------------------------------- reconfigure
 
     def set_parameters(self, params: List[Parameter]) -> List[SetParametersResult]:
@@ -562,6 +605,11 @@ class PointcloudPreprocessorNode:
             elif name == "override_header.stamp_source":
                 if hasattr(self, "new_header_data"):
                     self.new_header_data["stamp_source"] = value
+            elif name == "publish_normals_markers":
+                self.publish_normals_markers = value
+            elif name in ("normals_marker_topic", "normals_marker_stride",
+                          "normals_marker_length"):
+                pass  # read from the store on use
             elif name == "visualize":
                 self.visualize = value
             elif name.startswith("visualize."):

@@ -244,3 +244,20 @@ def test_type_mismatch_rejected():
     results = node.set_parameters([Parameter("voxel_size", "not-a-number")])
     assert not results[0].successful
     assert "type mismatch" in results[0].reason
+
+
+def test_normals_marker_array_published():
+    # reference stub made real (:814-815): arrows on a marker topic
+    node, bus, outputs = _make_node(
+        estimate_normals=True, publish_normals_markers=True,
+    )
+    markers = []
+    bus.create_subscription("/normals_markers", markers.append)
+    bus.create_publisher(node.input_topic).publish(_velodyne_msg())
+    assert len(markers) == 1
+    arr = markers[0]
+    assert len(arr.markers) > 0
+    m0 = arr.markers[0]
+    assert len(m0.points) == 2  # base + tip
+    base, tip = np.array(m0.points[0]), np.array(m0.points[1])
+    np.testing.assert_allclose(np.linalg.norm(tip - base), 0.3, atol=1e-5)
