@@ -203,6 +203,36 @@ def config5_pcap_streaming(reps):
     )
 
 
+def config6_merged_1m(reps):
+    """1M-point merged multi-LiDAR cloud: full pipeline on one chip.
+
+    The scaling axis is points-per-scan (SURVEY.md §5); this config shows
+    the fixed-capacity design holding at ~8x the headline scan size.
+    """
+    import jax
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.models import (
+        PipelineParams, PipelineSettings, build_pipeline,
+    )
+    from bench import _scene
+
+    n = 1_000_000
+    pts = _scene(n)
+    buf, _ = from_soa({"positions": pts}, capacity=1_048_576)
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=16,
+        estimate_normals=True, max_neighbors=16,
+        remove_ground=True, ransac_n=3, num_iterations=64,
+        knn_method="window",
+    )
+    fn = build_pipeline(settings)
+    params = PipelineParams.make(voxel_size=0.05, distance_threshold=0.12)
+    key = jax.random.PRNGKey(0)
+    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps, K=5)
+    _emit("1M-pt merged cloud, full pipeline", ms)
+
+
 def main():
     import jax
 
@@ -211,7 +241,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=128_000)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     wanted = {int(c) for c in args.configs.split(",")}
     if 1 in wanted:
@@ -224,6 +254,8 @@ def main():
         config4_concatenator(args.points, args.reps)
     if 5 in wanted:
         config5_pcap_streaming(args.reps)
+    if 6 in wanted:
+        config6_merged_1m(args.reps)
 
 
 if __name__ == "__main__":
