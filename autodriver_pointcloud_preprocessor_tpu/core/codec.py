@@ -14,16 +14,11 @@ float32 offset array so per-point precision is preserved end-to-end.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .fields import (
-    FIELD_DTYPE_MAP,
-    VENDOR_MAPPINGS,
-    check_field,
-    get_pointcloud_metadata,
-)
+from .fields import FIELD_DTYPE_MAP, get_pointcloud_metadata
 from .msg import Header, PointCloud2, PointField, structured_dtype_from_fields
 
 __all__ = [

@@ -22,11 +22,11 @@ import ctypes
 import os
 import struct
 import zlib
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
-from ..core.msg import CompressedPointCloud2, Header, PointCloud2
+from ..core.msg import CompressedPointCloud2, PointCloud2
 from ..core.codec import pointcloud_to_dict
 from .loader import soa_to_pointcloud2
 

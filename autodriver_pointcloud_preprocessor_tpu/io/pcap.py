@@ -17,7 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -20,7 +20,7 @@ pressure on any deployment.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..models.pipeline import (
     pipeline_runner,
     settings_from_config,
 )
-from .pcap import _ELEVATIONS, _PAYLOAD, VLP16, _read_payloads
+from .pcap import _ELEVATIONS, VLP16, _read_payloads
 
 __all__ = ["StreamingEngine"]
 

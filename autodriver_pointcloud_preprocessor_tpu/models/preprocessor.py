@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import scan as scan_mod
-from ..core.scan import ScanBuffer, bucket_capacity, from_soa, to_soa, valid_count
+from ..core.scan import ScanBuffer, from_soa, to_soa, valid_count
 from ..core.timing import StageTimer, get_current_time, get_time_difference
 from .pipeline import (
     STAGE_TIMING_KEYS,

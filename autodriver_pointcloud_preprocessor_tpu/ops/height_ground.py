@@ -12,8 +12,6 @@ the extrinsics already level the cloud.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

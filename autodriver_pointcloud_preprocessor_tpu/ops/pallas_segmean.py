@@ -26,7 +26,6 @@ flag makes "first index per segment" just another summed channel.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

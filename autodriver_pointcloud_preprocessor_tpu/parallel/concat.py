@@ -15,7 +15,6 @@ edges where the wall clock lives.
 from __future__ import annotations
 
 import collections
-import dataclasses
 import time as _time
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -23,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.msg import Header, PointCloud2, Time
+from ..core.msg import PointCloud2, Time
 from ..core.codec import pointcloud_to_dict
 from ..core.scan import ScanBuffer, from_soa
 from ..ops.transform import se3_transform

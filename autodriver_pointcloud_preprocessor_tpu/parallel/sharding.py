@@ -22,9 +22,8 @@ Batch parallelism (many scans) composes on the mesh's 'scan' axis with
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -42,7 +42,7 @@ from ..core.timing import get_current_time, get_time_difference
 from ..core.codec import build_pointfields
 from ..models.preprocessor import Preprocessor
 from .bus import TopicBus, qos_from_name
-from .params import Parameter, ParameterStore, ParameterType, SetParametersResult
+from .params import Parameter, ParameterStore, SetParametersResult
 from .tf import (
     ConnectivityException,
     ExtrapolationException,
