@@ -261,3 +261,68 @@ def test_normals_marker_array_published():
     assert len(m0.points) == 2  # base + tip
     base, tip = np.array(m0.points[0]), np.array(m0.points[1])
     np.testing.assert_allclose(np.linalg.norm(tip - base), 0.3, atol=1e-5)
+
+
+def test_save_pointcloud_writes_frames(tmp_path):
+    node, bus, outputs = _make_node(
+        save_pointcloud=True,
+        pointcloud_save_directory=str(tmp_path / "pcds"),
+        pointcloud_save_extension=".pcd",
+    )
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg())
+    pub.publish(_velodyne_msg(seed=1))
+    import os
+
+    files = sorted(os.listdir(tmp_path / "pcds"))
+    assert files == ["00000000.pcd", "00000001.pcd"]
+    from autodriver_pointcloud_preprocessor_tpu.io.pcd import read_point_cloud
+
+    cloud = read_point_cloud(str(tmp_path / "pcds" / files[0]))
+    assert cloud["positions"].shape[0] > 0
+
+
+def test_pointcloud_fields_selection():
+    # reference param pointcloud_fields restricts the PARSED fields (:397)
+    # while the output schema keeps the original field list (:551-553) —
+    # unparsed attributes publish as zeros
+    node, bus, outputs = _make_node(pointcloud_fields=["x", "y", "z"])
+    bus.create_publisher(node.input_topic).publish(_velodyne_msg())
+    out = read_points(outputs[0])
+    assert {"x", "y", "z", "intensity", "ring"} <= set(out.dtype.names)
+    assert (out["intensity"] == 0).all()
+    assert (out["ring"] == 0).all()
+    assert not (out["x"] == 0).all()
+
+
+def test_organized_cloud_roundtrip():
+    # organize_cloud reshapes to (H, W) on read; engine flattens for device
+    from autodriver_pointcloud_preprocessor_tpu.core.msg import make_pointcloud2
+
+    rng = np.random.default_rng(0)
+    fields, step = build_pointfields(["x", "y", "z"], [PointFieldType.FLOAT32] * 3)
+    from autodriver_pointcloud_preprocessor_tpu.core.msg import (
+        structured_dtype_from_fields,
+    )
+
+    arr = np.zeros(64, dtype=structured_dtype_from_fields(fields, step))
+    arr["x"] = rng.normal(size=64).astype(np.float32)
+    msg = make_pointcloud2(arr, fields, header=Header(Time(1, 0), "cam"), height=8)
+    assert msg.height == 8 and msg.width == 8
+    node, bus, outputs = _make_node(organize_cloud=True, remove_nans=False)
+    bus.create_publisher(node.input_topic).publish(msg)
+    assert len(outputs) == 1
+    assert read_points(outputs[0]).shape[0] == 64
+
+
+def test_visualizer_saves_png(tmp_path):
+    pytest.importorskip("matplotlib")
+    node, bus, outputs = _make_node(
+        visualize=True,
+        **{"visualize.save_visualizer_image": True,
+           "visualize.visualizer_image_path": str(tmp_path / "imgs")},
+    )
+    bus.create_publisher(node.input_topic).publish(_velodyne_msg())
+    import os
+
+    assert os.listdir(tmp_path / "imgs") == ["00000000.png"]
