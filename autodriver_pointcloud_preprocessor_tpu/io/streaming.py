@@ -196,6 +196,7 @@ class StreamingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
         self._fn = None
+        self._batched_fns = {}
 
     def _full_fn(self):
         if self._fn is not None:
@@ -224,11 +225,6 @@ class StreamingEngine:
         intensity_scale: float = 1.0,
     ) -> bytes:
         """One revolution's packets -> APCZ compressed blob."""
-        import struct
-        import zlib
-
-        from .compressor import _DTYPE_CODES, _MAGIC, _VERSION, _encode_i32_stream
-
         pb = self.packet_bucket
         p = payloads.shape[0]
         if p > pb:
@@ -247,15 +243,21 @@ class StreamingEngine:
             jnp.asarray(fields_pad), jnp.asarray(stamp_off), jnp.int32(p),
             self.params, key, jnp.float32(intensity_scale),
         )
-        packed = np.asarray(packed)  # the ONE D2H: int16 rows
-        meta = np.asarray(meta)
+        return self._encode_blob(
+            np.asarray(packed), np.asarray(meta), intensity_scale
+        )
+
+    def _encode_blob(self, packed, meta, intensity_scale):
+        import struct
+        import zlib
+
+        from .compressor import _DTYPE_CODES, _MAGIC, _VERSION, _encode_i32_stream
 
         n = int(meta[0])
         offset = 2 ** (self.qbits - 1)
         q = packed[:3, :n].astype(np.int32) + offset
         lo = meta[[1, 3, 5]].astype(np.float64)
         step = meta[[2, 4, 6]].astype(np.float64)
-
         out = bytearray()
         out += _MAGIC
         out += struct.pack("<BBIB", _VERSION, 0, n, self.qbits)
@@ -263,28 +265,107 @@ class StreamingEngine:
         for c in range(3):
             stream = zlib.compress(_encode_i32_stream(q[c]), 6)
             out += struct.pack("<I", len(stream)) + stream
-        inten = (packed[3, :n].astype(np.float32) / np.float32(intensity_scale))
+        inten = packed[3, :n].astype(np.float32) / np.float32(intensity_scale)
         body = zlib.compress(np.ascontiguousarray(inten).tobytes(), 6)
         out += struct.pack("<B", 1)
         out += struct.pack("<B", len(b"intensity")) + b"intensity"
-        out += struct.pack("<BBI", _DTYPE_CODES[np.dtype(np.float32)], 0, len(body))
+        out += struct.pack(
+            "<BBI", _DTYPE_CODES[np.dtype(np.float32)], 0, len(body)
+        )
         out += body
         return bytes(out)
 
+    def process_scan_batch(
+        self,
+        scans,
+        intensity_scale: float = 1.0,
+    ):
+        """Process B revolutions in ONE vmapped program + ONE transfer pair.
+
+        ``scans``: list of (payloads, stamps). Batching amortizes the
+        host-link latency across revolutions — the replay-throughput mode
+        (adds B-1 scans of latency; live streaming uses
+        process_scan_packets).
+        """
+        b = len(scans)
+        pb = self.packet_bucket
+        fields = np.zeros((b, 1176, pb), np.uint8)
+        stamp_off = np.zeros((b, pb), np.float32)
+        n_packets = np.zeros(b, np.int32)
+        for i, (payloads, stamps) in enumerate(scans):
+            p = min(payloads.shape[0], pb)
+            fields[i, :, :p] = _split_packet_fields(payloads[:p])
+            base = float(stamps[:p].min()) if p else 0.0
+            stamp_off[i, :p] = (stamps[:p] - base).astype(np.float32)
+            n_packets[i] = p
+
+        fn = self._batched_fns.get(b)
+        if fn is None:
+            import dataclasses
+
+            # vmap cannot batch pallas ANY-memory-space inputs: build the
+            # batched runner from XLA kernel variants
+            decode = _decode_fn(self.model, self.packet_bucket)
+            runner = pipeline_runner(
+                dataclasses.replace(self.settings, pallas_ok=False)
+            )
+            quantize = _quantize_body(self.qbits)
+
+            def single(packed_in, stamp_off, n_packets, params, key, iscale):
+                buf = decode(
+                    packed_in, stamp_off, n_packets,
+                    jnp.float32(self.min_range), jnp.float32(self.max_range),
+                )
+                buf, _plane = runner(buf, params, key)
+                pk, mt = quantize(buf, iscale)
+                return pk, mt, _plane
+
+            fn = jax.jit(
+                jax.vmap(single, in_axes=(0, 0, 0, None, 0, None))
+            )
+            self._batched_fns[b] = fn
+        keys = jax.random.split(
+            jax.random.fold_in(self._key, self._frame), b
+        )
+        self._frame += 1
+        packed, meta, planes = fn(
+            jnp.asarray(fields), jnp.asarray(stamp_off),
+            jnp.asarray(n_packets), self.params, keys,
+            jnp.float32(intensity_scale),
+        )
+        packed = np.asarray(packed)  # ONE D2H for the whole batch
+        meta = np.asarray(meta)
+        return [
+            self._encode_blob(packed[i], meta[i], intensity_scale)
+            for i in range(b)
+        ]
+
     # -- replay -----------------------------------------------------------
 
-    def replay_pcap(self, path: str) -> Iterator[bytes]:
-        """Yield one compressed blob per revolution of a capture."""
+    def replay_pcap(self, path: str, batch: int = 1) -> Iterator[bytes]:
+        """Yield one compressed blob per revolution of a capture.
+
+        ``batch`` > 1 processes that many revolutions per device dispatch
+        (throughput mode; see process_scan_batch).
+        """
         payloads, stamps = _read_payloads(path)
         if payloads.shape[0] == 0:
             return
-        # revolution split from block-0 azimuths (24 peeked bytes/packet)
+        # revolution split from block-0 azimuths (2 peeked bytes/packet)
         az0 = (
             payloads[:, 2].astype(np.int32)
             | (payloads[:, 3].astype(np.int32) << 8)
         )
         wraps = np.flatnonzero(np.diff(az0) < -18000) + 1
         bounds = [0, *wraps.tolist(), payloads.shape[0]]
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            if b > a:
+        spans = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        if batch <= 1:
+            for a, b in spans:
                 yield self.process_scan_packets(payloads[a:b], stamps[a:b])
+            return
+        for i in range(0, len(spans), batch):
+            group = spans[i : i + batch]
+            blobs = self.process_scan_batch(
+                [(payloads[a:b], stamps[a:b]) for a, b in group]
+            )
+            yield from blobs

@@ -66,6 +66,10 @@ class PipelineSettings:
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
+    #: False forces XLA kernel variants (no pallas_call) — required when
+    #: the pipeline runs under vmap (batched scans): Mosaic cannot batch
+    #: ANY-memory-space pallas inputs
+    pallas_ok: bool = True
     #: Hilbert-window passes for approximate neighborhoods: more passes =
     #: better recall (axis-permuted curves min-merged), linear cost
     neighborhood_passes: int = 2
@@ -193,9 +197,11 @@ def stage_functions(settings: PipelineSettings):
 
     if settings.voxel_downsample:
         method = settings.downsample_method
+        vb = "auto" if settings.pallas_ok else "xla"
         if method == "voxel":
             stages.append(
-                ("voxel", lambda b, p, k: (ops.voxel_downsample(b, p.voxel_size), None))
+                ("voxel", lambda b, p, k: (
+                    ops.voxel_downsample(b, p.voxel_size, backend=vb), None))
             )
         elif method == "random":
             stages.append(
@@ -234,6 +240,7 @@ def stage_functions(settings: PipelineSettings):
                 k=settings.nb_neighbors,
                 radius=p.search_radius,
                 passes=settings.neighborhood_passes,
+                backend="auto" if settings.pallas_ok else "xla",
             )
             # global outlier threshold (reference :514-519 semantics)
             valid = b.mask
@@ -258,6 +265,7 @@ def stage_functions(settings: PipelineSettings):
                         settings.nb_neighbors,
                         p.std_ratio,
                         method=settings.knn_method,
+                        window_backend="auto" if settings.pallas_ok else "xla",
                     ),
                     None,
                 ),
@@ -290,6 +298,7 @@ def stage_functions(settings: PipelineSettings):
                         p.search_radius,
                         settings.max_neighbors,
                         method=settings.knn_method,
+                        window_backend="auto" if settings.pallas_ok else "xla",
                     ),
                     None,
                 ),

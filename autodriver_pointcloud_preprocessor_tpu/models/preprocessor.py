@@ -183,9 +183,12 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _batched_pipeline(settings: PipelineSettings):
+    import dataclasses
+
     from ..models.pipeline import pipeline_runner
 
-    runner = pipeline_runner(settings)
+    # Mosaic cannot batch ANY-memory-space pallas inputs under vmap
+    runner = pipeline_runner(dataclasses.replace(settings, pallas_ok=False))
     return jax.jit(jax.vmap(runner, in_axes=(0, None, 0)))
 
 

@@ -50,6 +50,7 @@ def estimate_normals(
     search_radius: jax.Array | float = 0.1,
     max_nn: int = 30,
     method: str = "auto",
+    window_backend: str = "auto",
 ) -> ScanBuffer:
     """Attach float32[3, capacity] unit normals as attribute ``normals``.
 
@@ -85,7 +86,9 @@ def estimate_normals(
         a12 = jnp.sum(ey * (nzk - mz[:, None]), axis=-1)
         count = cnt
     elif method == "window":
-        entries, count = window_normal_stats(buf.positions, buf.mask, search_radius)
+        entries, count = window_normal_stats(
+            buf.positions, buf.mask, search_radius, backend=window_backend
+        )
         a00, a11, a22, a01, a02, a12 = (entries[i] for i in range(6))
     else:
         raise ValueError(f"unknown kNN method {method!r}")

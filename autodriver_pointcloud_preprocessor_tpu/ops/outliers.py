@@ -30,6 +30,7 @@ def remove_statistical_outliers(
     nb_neighbors: int = 20,
     std_ratio: jax.Array | float = 2.0,
     method: str = "auto",
+    window_backend: str = "auto",
 ) -> ScanBuffer:
     """Mask out points with anomalously large mean kNN distance.
 
@@ -49,7 +50,9 @@ def remove_statistical_outliers(
         neigh_count = jnp.maximum(jnp.sum(finite, axis=-1), 1)
         mean_d = jnp.sum(d, axis=-1) / neigh_count
     elif method == "window":
-        mean_d = window_mean_knn_dist(buf.positions, buf.mask, k=nb_neighbors)
+        mean_d = window_mean_knn_dist(
+            buf.positions, buf.mask, k=nb_neighbors, backend=window_backend
+        )
     else:
         raise ValueError(f"unknown kNN method {method!r}")
 

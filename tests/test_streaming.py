@@ -87,3 +87,22 @@ def test_streaming_engine_with_pipeline(tmp_path):
     soa = decompress_soa(blob)
     full = 80 * 384
     assert 0 < soa["positions"].shape[0] < full  # voxel reduced it
+
+
+def test_streaming_batched_replay_matches_single(tmp_path):
+    path = str(tmp_path / "s.pcap")
+    _write_pcap(path, num_packets=320)  # ~4 revolutions
+    cfg = {"voxel_size": 0.0, "estimate_normals": False, "crop_to_roi": False,
+           "remove_duplicates": False}
+    single = list(StreamingEngine(cfg, packet_bucket=80).replay_pcap(path))
+    batched = list(
+        StreamingEngine(cfg, packet_bucket=80).replay_pcap(path, batch=4)
+    )
+    assert len(single) == len(batched)
+    for s_blob, b_blob in zip(single, batched):
+        ss = decompress_soa(s_blob)
+        bb = decompress_soa(b_blob)
+        assert ss["positions"].shape == bb["positions"].shape
+        np.testing.assert_allclose(
+            np.sort(ss["positions"], 0), np.sort(bb["positions"], 0), atol=2e-2
+        )
