@@ -117,6 +117,29 @@ class Preprocessor:
         )
         return out, metadata
 
+    def process_soa_async(self, soa, metadata=None, capacity=None):
+        """Dispatch a scan and return a resolver (no sync).
+
+        Dispatches H2D + the fused pipeline asynchronously; calling the
+        returned function performs the single packed D2H and yields
+        ``(out_soa, metadata)``. Lets callers overlap scan N's device work
+        and egress with scan N+1's ingest (the node's pipelined mode).
+        """
+        buf, metadata = from_soa(soa, capacity=capacity, metadata=metadata)
+        buf, plane = self.process_buffer(buf)
+
+        def resolve():
+            out = to_soa(buf, metadata)
+            if self.settings.estimate_normals:
+                metadata["has_normals"] = True
+            p = np.asarray(plane)
+            metadata["ground_plane_estimate"] = (
+                None if np.isnan(p).any() else p
+            )
+            return out, metadata
+
+        return resolve
+
     def process_batch(self, bufs):
         """Process a list of same-capacity ScanBuffers as ONE vmapped program.
 

@@ -157,6 +157,7 @@ class PointcloudPreprocessorNode:
         bus: Optional[TopicBus] = None,
         overrides: Optional[Dict[str, object]] = None,
         profile: bool = False,
+        pipelined: bool = False,
     ):
         self.node_name = node_name
         self.logger = logging.getLogger(node_name)
@@ -212,6 +213,11 @@ class PointcloudPreprocessorNode:
             os.makedirs(self.visualizer_options["visualizer_image_path"], exist_ok=True)
 
         # -- engine -----------------------------------------------------------
+        #: pipelined=True overlaps scan N's device work/egress with scan
+        #: N+1's ingest: outputs publish one callback later (adds one scan
+        #: of latency, removes the per-scan device sync from the callback)
+        self.pipelined = pipelined
+        self._pending = None  # (resolver, source msg) awaiting egress
         self.engine = Preprocessor(self._engine_config(), profile=profile)
         self.processing_times = self.engine.processing_times  # shared dict
 
@@ -276,9 +282,19 @@ class PointcloudPreprocessorNode:
                 start, get_current_time(monotonic=True)
             )
 
-            out_soa, self.pointcloud_metadata = self.engine.process_soa(
-                soa, self.pointcloud_metadata
-            )
+            if self.pipelined:
+                resolver = self.engine.process_soa_async(
+                    soa, self.pointcloud_metadata
+                )
+                pending, self._pending = self._pending, (resolver, ros_cloud)
+                if pending is None:
+                    return  # first scan: nothing to publish yet
+                prev_resolver, ros_cloud = pending
+                out_soa, self.pointcloud_metadata = prev_resolver()
+            else:
+                out_soa, self.pointcloud_metadata = self.engine.process_soa(
+                    soa, self.pointcloud_metadata
+                )
 
             start = get_current_time(monotonic=True)
             processed_struct = self.prepare_pointcloud(ros_cloud, out_soa)
@@ -624,6 +640,24 @@ class PointcloudPreprocessorNode:
                 "Success = %s for param %s to value %s", result.successful, param.name, value
             )
         return result
+
+    def flush_pipeline(self) -> None:
+        """Pipelined mode: publish the final in-flight scan."""
+        if self._pending is None:
+            return
+        resolver, ros_cloud = self._pending
+        self._pending = None
+        out_soa, self.pointcloud_metadata = resolver()
+        processed_struct = self.prepare_pointcloud(ros_cloud, out_soa)
+        pc_msg = make_pointcloud2(
+            processed_struct,
+            self.pointfields,
+            header=self.create_header(ros_cloud),
+            is_dense=ros_cloud.is_dense and self.remove_nans and self.remove_infs,
+        )
+        self.pointcloud_pub.publish(pc_msg)
+        self.latest_output = pc_msg
+        self.frame_count += 1
 
     def destroy_node(self) -> None:
         if self.enabled:

@@ -203,12 +203,12 @@ def config5_pcap_streaming(reps):
     )
 
     # batched replay: amortize link latency across revolutions
-    blobs = list(engine.replay_pcap(path, batch=8))  # compile
+    blobs = list(engine.replay_pcap(path, batch=20))  # compile
     t0 = time.perf_counter()
-    blobs = list(engine.replay_pcap(path, batch=8))
+    blobs = list(engine.replay_pcap(path, batch=20))
     wall = time.perf_counter() - t0
     _emit(
-        "pcap replay batched x8 (throughput mode)",
+        "pcap replay batched x20 (throughput mode)",
         wall / len(blobs) * 1e3,
         {"x_realtime_10hz": round(len(blobs) / 10.0 / wall, 1)},
     )

@@ -326,3 +326,24 @@ def test_visualizer_saves_png(tmp_path):
     import os
 
     assert os.listdir(tmp_path / "imgs") == ["00000000.png"]
+
+
+def test_pipelined_node_overlap():
+    bus = TopicBus()
+    node = PointcloudPreprocessorNode(
+        bus=bus, pipelined=True,
+        overrides={"voxel_size": 0.0, "estimate_normals": False},
+    )
+    outputs = []
+    bus.create_subscription(node.output_topic, outputs.append)
+    pub = bus.create_publisher(node.input_topic)
+    pub.publish(_velodyne_msg(seed=0))
+    assert outputs == []  # first scan in flight
+    pub.publish(_velodyne_msg(seed=1))
+    assert len(outputs) == 1  # scan 0 published on callback 1
+    node.flush_pipeline()
+    assert len(outputs) == 2
+    # outputs correspond to inputs in order
+    a = read_points(outputs[0])
+    ref = read_points(_velodyne_msg(seed=0))
+    np.testing.assert_allclose(np.sort(a["x"]), np.sort(ref["x"]), atol=1e-5)
