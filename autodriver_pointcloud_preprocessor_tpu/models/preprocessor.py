@@ -107,7 +107,9 @@ class Preprocessor:
 
         start = get_current_time(monotonic=True)
         out = to_soa(buf, metadata)
-        self.processing_times["pointcloud_msg_parsing"] = get_time_difference(
+        # device->host egress (the node records the reference's
+        # 'pointcloud_msg_parsing' key separately for its struct building)
+        self.processing_times["device_to_host"] = get_time_difference(
             start, get_current_time(monotonic=True)
         )
         if self.settings.estimate_normals:
