@@ -290,11 +290,20 @@ def build_sharded_pipeline(
 
     def run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
         specs = buffer_pspecs(buf, axis_name)
+        # Output structure may differ from the input: estimate_normals adds
+        # a (3, cap) 'normals' attribute. out_specs must match the OUTPUT
+        # pytree or shard_map raises on the key-set mismatch.
+        out_attrs = dict(specs.attributes)
+        if settings.estimate_normals and "normals" not in out_attrs:
+            out_attrs["normals"] = P(None, axis_name)
+        out_buf_specs = ScanBuffer(
+            positions=specs.positions, mask=specs.mask, attributes=out_attrs
+        )
         mapped = shard_map(
             local_run,
             mesh=mesh,
             in_specs=(specs, P(), P()),
-            out_specs=(specs, P()),
+            out_specs=(out_buf_specs, P()),
             check_vma=False,
         )
         return mapped(buf, params, key)

@@ -168,6 +168,73 @@ def test_sharded_outlier_stats_are_global(rng):
     assert mask[2000:2048].sum() == 0
 
 
+def test_sharded_pipeline_estimate_normals_public_api(rng):
+    # regression (ADVICE r1, high): estimate_normals adds a 'normals'
+    # attribute, so shard_map out_specs must be built from the OUTPUT
+    # structure; the public build_sharded_pipeline used input specs and
+    # raised on the pytree key-set mismatch.
+    pts = _scene(rng, 1500, 300)
+    buf, _ = from_soa({"positions": pts}, capacity=2048)
+    settings = PipelineSettings(
+        estimate_normals=True, max_neighbors=8, knn_method="exact",
+        remove_ground=True, num_iterations=32, ransac_n=3,
+    )
+    mesh = make_mesh()
+    fn = build_sharded_pipeline(settings, mesh)
+    out, plane = fn(
+        shard_buffer(buf, mesh),
+        PipelineParams.make(voxel_size=0.12, distance_threshold=0.08),
+        jax.random.PRNGKey(0),
+    )
+    assert "normals" in out.attributes
+    nrm = np.asarray(out.attributes["normals"])
+    mask = np.asarray(out.mask)
+    assert nrm.shape[0] == 3
+    lens = np.linalg.norm(nrm[:, mask], axis=0)
+    assert np.all(np.abs(lens - 1.0) < 1e-3)  # unit normals on live points
+    assert abs(np.asarray(plane)[2]) > 0.99
+
+
+def _survivor_overlap(a, b, tol):
+    """Fraction of rows of `a` with a match in `b` within `tol` (and vice
+    versa) — a symmetric set-overlap score for survivor point sets."""
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    fwd = (d2.min(axis=1) < tol * tol).mean()
+    bwd = (d2.min(axis=0) < tol * tol).mean()
+    return min(fwd, bwd)
+
+
+def test_sharded_vs_single_device_survivor_parity(rng):
+    # VERDICT r1 item 6: quantify the "near-exact with Hilbert pre-sort"
+    # claim. Full pipeline (dup+crop+voxel+outliers+ground) on the same
+    # cloud, single-device vs 8-way point-sharded; survivor sets must
+    # overlap >= 97% within half a voxel and planes must agree.
+    pts = _scene(rng, 2500, 600)
+    pts = np.vstack([pts, pts[:64]])  # real duplicates for the dedup stage
+    buf, _ = from_soa({"positions": pts}, capacity=4096)
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8, knn_method="exact",
+        estimate_normals=False,
+        remove_ground=True, num_iterations=64, ransac_n=3,
+    )
+    voxel = 0.15
+    params = PipelineParams.make(voxel_size=voxel, distance_threshold=0.08)
+    key = jax.random.PRNGKey(0)
+
+    out_s, plane_s = build_pipeline(settings)(buf, params, key)
+    mesh = make_mesh()
+    out_m, plane_m = build_sharded_pipeline(settings, mesh)(
+        shard_buffer(buf, mesh), params, key
+    )
+
+    ps, pm = np.asarray(plane_s), np.asarray(plane_m)
+    assert abs(ps[2]) > 0.99 and abs(pm[2]) > 0.99
+    surv_s = np.asarray(out_s.positions).T[np.asarray(out_s.mask)]
+    surv_m = np.asarray(out_m.positions).T[np.asarray(out_m.mask)]
+    overlap = _survivor_overlap(surv_s, surv_m, tol=voxel / 2)
+    assert overlap >= 0.97, (overlap, len(surv_s), len(surv_m))
+
+
 def test_sharded_pipeline_is_compiled_spmd(rng):
     # compiles and runs under jit on the virtual mesh; survivors land on
     # the right shards (output sharding preserved)
