@@ -259,12 +259,17 @@ def soa_to_structured(
         else:  # already packed
             out["rgb"] = rgb.astype(out["rgb"].dtype)
 
-    for canonical in ("intensity", "ring", "time", "return_type"):
-        if soa.get(canonical) is None:
+    # Every scalar SoA attribute whose (vendor-aliased or literal) field
+    # name exists in the output schema passes through — not just the four
+    # canonical ones. PCAP-decoded clouds carry azimuth/distance
+    # (io/loader.py) and those must survive publishing.
+    handled = {"positions", "rgb", "normals"}
+    for canonical, arr in soa.items():
+        if canonical in handled or arr is None:
             continue
         name = metadata.get(f"{canonical}_field_name") or canonical
         if name in out.dtype.names:
-            out[name] = np.asarray(soa[canonical]).reshape(n).astype(out[name].dtype)
+            out[name] = np.asarray(arr).reshape(n).astype(out[name].dtype)
 
     if include_normals and soa.get("normals") is not None:
         normals = np.asarray(soa["normals"])

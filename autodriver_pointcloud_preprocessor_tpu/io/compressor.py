@@ -166,37 +166,8 @@ def _decode_i32_stream(data: bytes, count: int) -> np.ndarray:
 # codec
 # ---------------------------------------------------------------------------
 
-def compress_soa(
-    soa: Dict[str, np.ndarray],
-    quantization_bits: int = 14,
-    level: int = 6,
-) -> bytes:
-    """SoA dict -> compressed bytes (see module docstring for the scheme)."""
-    positions = np.asarray(soa["positions"], np.float32)
-    n = positions.shape[0]
-    out = bytearray()
-    out += _MAGIC
-    out += struct.pack("<BBIB", _VERSION, 0, n, quantization_bits)
-
-    if quantization_bits > 0 and n > 0:
-        lo = positions.min(axis=0).astype(np.float64)
-        hi = positions.max(axis=0).astype(np.float64)
-        scale = (2**quantization_bits - 1) / np.maximum(hi - lo, 1e-30)
-        out += struct.pack("<6d", *lo, *(1.0 / scale))
-        q = ((positions - lo) * scale + 0.5).astype(np.int64).astype(np.int32)
-        for c in range(3):
-            stream = zlib.compress(_encode_i32_stream(q[:, c]), level)
-            out += struct.pack("<I", len(stream)) + stream
-    else:
-        out += struct.pack("<6d", *([0.0] * 6))
-        stream = zlib.compress(positions.tobytes(), level)
-        out += struct.pack("<I", len(stream)) + stream
-
-    attrs = [
-        (name, np.asarray(arr))
-        for name, arr in sorted(soa.items())
-        if name != "positions" and arr is not None
-    ]
+def _write_attrs(out: bytearray, attrs, level: int) -> None:
+    """Append the attribute section: count byte + per-attr records."""
     out += struct.pack("<B", len(attrs))
     for name, arr in attrs:
         cols = arr.shape[1] if arr.ndim == 2 else 0
@@ -207,6 +178,91 @@ def compress_soa(
         ) + nm + struct.pack(
             "<BBI", _DTYPE_CODES[arr.dtype], cols, len(body)
         ) + body
+
+
+def _write_quantized_container(
+    q: np.ndarray,
+    lo: np.ndarray,
+    step: np.ndarray,
+    n: int,
+    qbits: int,
+    attrs,
+    level: int,
+) -> bytes:
+    """The ONE writer of the quantized-positions APCZ container.
+
+    ``q``: int32[3, n] quantized position columns; ``attrs``: list of
+    (name, ndarray). Shared by compress_soa, compress_buffer, and the
+    StreamingEngine egress so the wire format cannot drift.
+    """
+    out = bytearray()
+    out += _MAGIC
+    out += struct.pack("<BBIB", _VERSION, 0, n, qbits)
+    out += struct.pack("<6d", *lo, *step)
+    for c in range(3):
+        stream = zlib.compress(_encode_i32_stream(q[c]), level)
+        out += struct.pack("<I", len(stream)) + stream
+    _write_attrs(out, attrs, level)
+    return bytes(out)
+
+
+def encode_device_quantized(
+    packed: np.ndarray,
+    meta: np.ndarray,
+    qbits: int,
+    intensity_scale: float = 1.0,
+    level: int = 6,
+) -> bytes:
+    """Host finish of the device-quantized egress: ``(packed int16 rows,
+    meta)`` from ``device_quantizer`` -> APCZ blob. Row 3, when present, is
+    quantized intensity."""
+    n = int(meta[0])
+    offset = 2 ** (qbits - 1)
+    q = packed[:3, :n].astype(np.int32) + offset
+    lo = meta[[1, 3, 5]].astype(np.float64)
+    step = meta[[2, 4, 6]].astype(np.float64)
+    attrs = []
+    if packed.shape[0] > 3:
+        attrs.append(
+            (
+                "intensity",
+                packed[3, :n].astype(np.float32) / np.float32(intensity_scale),
+            )
+        )
+    return _write_quantized_container(q, lo, step, n, qbits, attrs, level)
+
+
+def compress_soa(
+    soa: Dict[str, np.ndarray],
+    quantization_bits: int = 14,
+    level: int = 6,
+) -> bytes:
+    """SoA dict -> compressed bytes (see module docstring for the scheme)."""
+    positions = np.asarray(soa["positions"], np.float32)
+    n = positions.shape[0]
+
+    attrs = [
+        (name, np.asarray(arr))
+        for name, arr in sorted(soa.items())
+        if name != "positions" and arr is not None
+    ]
+    if quantization_bits > 0 and n > 0:
+        lo = positions.min(axis=0).astype(np.float64)
+        hi = positions.max(axis=0).astype(np.float64)
+        scale = (2**quantization_bits - 1) / np.maximum(hi - lo, 1e-30)
+        q = ((positions - lo) * scale + 0.5).astype(np.int64).astype(np.int32)
+        return _write_quantized_container(
+            q.T, lo, 1.0 / scale, n, quantization_bits, attrs, level
+        )
+
+    # lossless raw-float path (quantization_bits == 0)
+    out = bytearray()
+    out += _MAGIC
+    out += struct.pack("<BBIB", _VERSION, 0, n, quantization_bits)
+    out += struct.pack("<6d", *([0.0] * 6))
+    stream = zlib.compress(positions.tobytes(), level)
+    out += struct.pack("<I", len(stream)) + stream
+    _write_attrs(out, attrs, level)
     return bytes(out)
 
 
@@ -325,17 +381,30 @@ class PointcloudCompressorNode:
 # device-side quantization egress
 # ---------------------------------------------------------------------------
 
-def _device_quantize(qbits: int):
-    """jitted: ScanBuffer -> (packed int16[(3+ceil(A/2)), capacity], bbox f32[8]).
+def device_quantizer(qbits: int):
+    """jitted: ScanBuffer -> (packed int16 rows, meta f32[7]).
 
     Runs the codec's lossy step ON DEVICE and emits int16 — the BASELINE
     north star keeps host<->device traffic to "raw packets in, compressed
     clouds out", and this backend's D2H link makes float egress the
     bottleneck (PERF_NOTES.md). Output columns are COMPACTED (live points
-    first); bbox row carries [count, lo_xyz, inv_step_xyz_scale...].
+    first); meta carries [count, (lo, step) per axis]. The single device
+    quantizer — the StreamingEngine egress uses this same function.
+    ``qbits`` must be >= 1 (the qbits=0 lossless path exists only in
+    compress_soa; levels=0 here would collapse every position).
     """
-    import functools
+    if qbits < 1:
+        raise ValueError(
+            f"device quantization requires quantization_bits >= 1, got {qbits}"
+        )
+    return _device_quantizer_cached(qbits)
 
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _device_quantizer_cached(qbits: int):
     import jax
     import jax.numpy as jnp
 
@@ -378,9 +447,6 @@ def _device_quantize(qbits: int):
     return quantize
 
 
-_DEVQ_CACHE = {}
-
-
 def compress_buffer(
     buf,
     quantization_bits: int = 14,
@@ -392,44 +458,14 @@ def compress_buffer(
     Positions-and-intensity profile (the high-rate streaming path); the
     wire format matches compress_soa's container so decompress_soa reads
     it. Transfers ~8 bytes/point instead of ~32 (float egress).
+    ``quantization_bits`` must be >= 1 (use compress_soa for lossless).
     """
     import jax.numpy as jnp
 
-    key = quantization_bits
-    fn = _DEVQ_CACHE.get(key)
-    if fn is None:
-        fn = _device_quantize(quantization_bits)
-        _DEVQ_CACHE[key] = fn
-    has_intensity = buf.attributes.get("intensity") is not None
+    fn = device_quantizer(quantization_bits)
     packed, meta = fn(buf, jnp.float32(intensity_scale))
     packed = np.asarray(packed)  # ONE small D2H (int16)
     meta = np.asarray(meta)
-
-    n = int(meta[0])
-    offset = 2 ** (quantization_bits - 1)
-    q = packed[:3, :n].astype(np.int32) + offset
-    lo = meta[[1, 3, 5]].astype(np.float64)
-    step = meta[[2, 4, 6]].astype(np.float64)
-
-    out = bytearray()
-    out += _MAGIC
-    out += struct.pack("<BBIB", _VERSION, 0, n, quantization_bits)
-    out += struct.pack("<6d", *lo, *step)
-    for c in range(3):
-        stream = zlib.compress(_encode_i32_stream(q[c]), level)
-        out += struct.pack("<I", len(stream)) + stream
-
-    attrs = []
-    if has_intensity:
-        inten = (
-            packed[3, :n].astype(np.float32) / np.float32(intensity_scale)
-        )
-        attrs.append(("intensity", inten))
-    out += struct.pack("<B", len(attrs))
-    for name, arr in attrs:
-        body = zlib.compress(np.ascontiguousarray(arr).tobytes(), level)
-        nm = name.encode()
-        out += struct.pack("<B", len(nm)) + nm + struct.pack(
-            "<BBI", _DTYPE_CODES[arr.dtype], 0, len(body)
-        ) + body
-    return bytes(out)
+    return encode_device_quantized(
+        packed, meta, quantization_bits, intensity_scale, level
+    )

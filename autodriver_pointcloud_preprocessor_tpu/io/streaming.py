@@ -131,39 +131,6 @@ def _decode_fn(model: str, packet_bucket: int):
     return decode
 
 
-@functools.lru_cache(maxsize=16)
-def _quantize_body(qbits: int):
-    from ..core.scan import valid_count
-    from ..ops.compact import compaction_order
-
-    levels = float(2**qbits - 1)
-
-    def quantize(buf: ScanBuffer, intensity_scale):
-        order = compaction_order(buf.mask)
-        n = buf.capacity
-        count = valid_count(buf)
-        live = jnp.arange(n) < count
-        big = jnp.float32(3.4e38)
-        rows, bbox = [], []
-        for c in range(3):
-            v = buf.positions[c][order]
-            lo = jnp.min(jnp.where(live, v, big))
-            hi = jnp.max(jnp.where(live, v, -big))
-            scale = levels / jnp.maximum(hi - lo, 1e-30)
-            q = jnp.clip((v - lo) * scale + 0.5, 0.0, levels)
-            rows.append((q.astype(jnp.int32) - 2 ** (qbits - 1)).astype(jnp.int16))
-            bbox.extend([lo, 1.0 / scale])
-        inten = buf.attributes.get("intensity")
-        if inten is not None:
-            iq = jnp.round(
-                jnp.clip(inten[order] * intensity_scale, -32767.0, 32767.0)
-            )
-            rows.append(iq.astype(jnp.int16))
-        return jnp.stack(rows), jnp.stack([count.astype(jnp.float32)] + bbox)
-
-    return quantize
-
-
 class StreamingEngine:
     """PCAP/UDP packets -> preprocessed, compressed clouds, device-resident.
 
@@ -201,9 +168,11 @@ class StreamingEngine:
     def _full_fn(self):
         if self._fn is not None:
             return self._fn
+        from .compressor import device_quantizer
+
         decode = _decode_fn(self.model, self.packet_bucket)
         runner = pipeline_runner(self.settings)
-        quantize = _quantize_body(self.qbits)
+        quantize = device_quantizer(self.qbits)
 
         @jax.jit
         def full(packed, stamp_off, n_packets, params, key, intensity_scale):
@@ -243,37 +212,11 @@ class StreamingEngine:
             jnp.asarray(fields_pad), jnp.asarray(stamp_off), jnp.int32(p),
             self.params, key, jnp.float32(intensity_scale),
         )
-        return self._encode_blob(
-            np.asarray(packed), np.asarray(meta), intensity_scale
+        from .compressor import encode_device_quantized
+
+        return encode_device_quantized(
+            np.asarray(packed), np.asarray(meta), self.qbits, intensity_scale
         )
-
-    def _encode_blob(self, packed, meta, intensity_scale):
-        import struct
-        import zlib
-
-        from .compressor import _DTYPE_CODES, _MAGIC, _VERSION, _encode_i32_stream
-
-        n = int(meta[0])
-        offset = 2 ** (self.qbits - 1)
-        q = packed[:3, :n].astype(np.int32) + offset
-        lo = meta[[1, 3, 5]].astype(np.float64)
-        step = meta[[2, 4, 6]].astype(np.float64)
-        out = bytearray()
-        out += _MAGIC
-        out += struct.pack("<BBIB", _VERSION, 0, n, self.qbits)
-        out += struct.pack("<6d", *lo, *step)
-        for c in range(3):
-            stream = zlib.compress(_encode_i32_stream(q[c]), 6)
-            out += struct.pack("<I", len(stream)) + stream
-        inten = packed[3, :n].astype(np.float32) / np.float32(intensity_scale)
-        body = zlib.compress(np.ascontiguousarray(inten).tobytes(), 6)
-        out += struct.pack("<B", 1)
-        out += struct.pack("<B", len(b"intensity")) + b"intensity"
-        out += struct.pack(
-            "<BBI", _DTYPE_CODES[np.dtype(np.float32)], 0, len(body)
-        )
-        out += body
-        return bytes(out)
 
     def process_scan_batch(
         self,
@@ -301,15 +244,13 @@ class StreamingEngine:
 
         fn = self._batched_fns.get(b)
         if fn is None:
-            import dataclasses
+            from .compressor import device_quantizer
 
-            # vmap cannot batch pallas ANY-memory-space inputs: build the
-            # batched runner from XLA kernel variants
+            # the Pallas window kernel batches natively under vmap via its
+            # custom_vmap batch-grid rule (ops/pallas_window.py)
             decode = _decode_fn(self.model, self.packet_bucket)
-            runner = pipeline_runner(
-                dataclasses.replace(self.settings, pallas_ok=False)
-            )
-            quantize = _quantize_body(self.qbits)
+            runner = pipeline_runner(self.settings)
+            quantize = device_quantizer(self.qbits)
 
             def single(packed_in, stamp_off, n_packets, params, key, iscale):
                 buf = decode(
@@ -333,10 +274,14 @@ class StreamingEngine:
             jnp.asarray(n_packets), self.params, keys,
             jnp.float32(intensity_scale),
         )
+        from .compressor import encode_device_quantized
+
         packed = np.asarray(packed)  # ONE D2H for the whole batch
         meta = np.asarray(meta)
         return [
-            self._encode_blob(packed[i], meta[i], intensity_scale)
+            encode_device_quantized(
+                packed[i], meta[i], self.qbits, intensity_scale
+            )
             for i in range(b)
         ]
 

@@ -66,13 +66,20 @@ class PipelineSettings:
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
-    #: False forces XLA kernel variants (no pallas_call) — required when
-    #: the pipeline runs under vmap (batched scans): Mosaic cannot batch
-    #: ANY-memory-space pallas inputs
+    #: debug flag: False forces XLA kernel variants (no pallas_call).
+    #: Batched/vmapped execution keeps the Pallas path — the window kernel
+    #: maps vmap onto a batch grid dimension (ops/pallas_window.py).
     pallas_ok: bool = True
     #: Hilbert-window passes for approximate neighborhoods: more passes =
     #: better recall (axis-permuted curves min-merged), linear cost
     neighborhood_passes: int = 2
+    #: candidate halo per side in 128-point blocks for the window kernel;
+    #: 1 = 384-candidate windows (fast), 2 = 640 (higher recall)
+    window_blocks: int = 1
+    #: k-distance extraction in the Pallas window kernel: 'bisect'
+    #: (threshold bisection, ~2x cheaper, within ~0.6% of sweep) or
+    #: 'sweep' (exact k min-extractions)
+    knn_kmode: str = "bisect"
     #: when outliers AND normals are both enabled on the window path, run
     #: them as ONE shared neighborhood sweep (ops/window.py
     #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
@@ -239,8 +246,10 @@ def stage_functions(settings: PipelineSettings):
                 b.mask,
                 k=settings.nb_neighbors,
                 radius=p.search_radius,
+                window_blocks=settings.window_blocks,
                 passes=settings.neighborhood_passes,
                 backend="auto" if settings.pallas_ok else "xla",
+                kmode=settings.knn_kmode,
             )
             # global outlier threshold (reference :514-519 semantics)
             valid = b.mask
@@ -266,6 +275,9 @@ def stage_functions(settings: PipelineSettings):
                         p.std_ratio,
                         method=settings.knn_method,
                         window_backend="auto" if settings.pallas_ok else "xla",
+                        window_blocks=settings.window_blocks,
+                        passes=settings.neighborhood_passes,
+                        kmode=settings.knn_kmode,
                     ),
                     None,
                 ),
@@ -282,6 +294,7 @@ def stage_functions(settings: PipelineSettings):
                         p.radius_nb_points,
                         p.radius_search_radius,
                         method=settings.knn_method,
+                        window_backend="auto" if settings.pallas_ok else "xla",
                     ),
                     None,
                 ),
@@ -299,6 +312,8 @@ def stage_functions(settings: PipelineSettings):
                         settings.max_neighbors,
                         method=settings.knn_method,
                         window_backend="auto" if settings.pallas_ok else "xla",
+                        window_blocks=settings.window_blocks,
+                        passes=settings.neighborhood_passes,
                     ),
                     None,
                 ),
@@ -394,6 +409,8 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),
         neighborhood_passes=int(cfg.get("neighborhood_passes", 2)),
+        window_blocks=int(cfg.get("window_blocks", 1)),
+        knn_kmode=str(cfg.get("knn_kmode", "bisect")),
         fuse_neighborhood=bool(cfg.get("fuse_neighborhood", True)),
     )
 

@@ -208,13 +208,11 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _batched_pipeline(settings: PipelineSettings):
-    import dataclasses
-
     from ..models.pipeline import pipeline_runner
 
-    # Mosaic cannot batch ANY-memory-space pallas inputs under vmap
-    runner = pipeline_runner(dataclasses.replace(settings, pallas_ok=False))
-    return jax.jit(jax.vmap(runner, in_axes=(0, None, 0)))
+    # the Pallas window kernel batches natively under vmap (custom_vmap
+    # routes the batch onto a kernel grid dimension, ops/pallas_window.py)
+    return jax.jit(jax.vmap(pipeline_runner(settings), in_axes=(0, None, 0)))
 
 
 @functools.lru_cache(maxsize=256)

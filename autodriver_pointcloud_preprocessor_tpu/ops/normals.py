@@ -51,6 +51,8 @@ def estimate_normals(
     max_nn: int = 30,
     method: str = "auto",
     window_backend: str = "auto",
+    window_blocks: int = 2,
+    passes: int = 2,
 ) -> ScanBuffer:
     """Attach float32[3, capacity] unit normals as attribute ``normals``.
 
@@ -87,7 +89,8 @@ def estimate_normals(
         count = cnt
     elif method == "window":
         entries, count = window_normal_stats(
-            buf.positions, buf.mask, search_radius, backend=window_backend
+            buf.positions, buf.mask, search_radius, backend=window_backend,
+            window_blocks=window_blocks, passes=passes,
         )
         a00, a11, a22, a01, a02, a12 = (entries[i] for i in range(6))
     else:

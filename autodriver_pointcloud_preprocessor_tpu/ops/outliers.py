@@ -31,6 +31,9 @@ def remove_statistical_outliers(
     std_ratio: jax.Array | float = 2.0,
     method: str = "auto",
     window_backend: str = "auto",
+    window_blocks: int = 2,
+    passes: int = 2,
+    kmode: str = "sweep",
 ) -> ScanBuffer:
     """Mask out points with anomalously large mean kNN distance.
 
@@ -51,7 +54,8 @@ def remove_statistical_outliers(
         mean_d = jnp.sum(d, axis=-1) / neigh_count
     elif method == "window":
         mean_d = window_mean_knn_dist(
-            buf.positions, buf.mask, k=nb_neighbors, backend=window_backend
+            buf.positions, buf.mask, k=nb_neighbors, backend=window_backend,
+            window_blocks=window_blocks, passes=passes, kmode=kmode,
         )
     else:
         raise ValueError(f"unknown kNN method {method!r}")

@@ -31,6 +31,7 @@ def remove_radius_outliers(
     search_radius: jax.Array | float = 0.05,
     method: str = "auto",
     exact_k: int = 64,
+    window_backend: str = "auto",
 ) -> ScanBuffer:
     """Mask out points with fewer than ``nb_points`` in-radius neighbors.
 
@@ -49,7 +50,7 @@ def remove_radius_outliers(
         count = jnp.sum((sq <= r2) & jnp.isfinite(sq), axis=-1)
     elif method == "window":
         _entries, count = window_normal_stats(
-            buf.positions, buf.mask, search_radius
+            buf.positions, buf.mask, search_radius, backend=window_backend
         )
     else:
         raise ValueError(f"unknown kNN method {method!r}")

@@ -224,7 +224,8 @@ def _entries_from_moments(mom):
     return jnp.stack([a00, a11, a22, a01, a02, a12])
 
 
-def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks, interpret):
+def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
+                 interpret, kmode="sweep"):
     """One curve pass through the fused Pallas kernel (ops/pallas_window.py).
 
     Returns (mean_knn[N], cov_entries[6, N], count[N]) in ORIGINAL order.
@@ -234,7 +235,7 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks, interpret)
     sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, pass_idx)
     mean_s, cnt_s, mom_s = window_stats_pallas(
         sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
-        interpret=interpret,
+        interpret=interpret, kmode=kmode,
     )
     entries_s = _entries_from_moments(mom_s)
     mean, count, *entry_rows = _unsort(
@@ -245,7 +246,7 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks, interpret)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "window_blocks", "passes", "backend"),
+    static_argnames=("k", "window_blocks", "passes", "backend", "kmode"),
 )
 def fused_neighborhood_stats(
     positions: jax.Array,
@@ -255,6 +256,7 @@ def fused_neighborhood_stats(
     window_blocks: int = 2,
     passes: int = 2,
     backend: str = "auto",
+    kmode: str = "sweep",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One shared neighborhood sweep serving BOTH statistical-outlier and
     normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
@@ -282,7 +284,7 @@ def fused_neighborhood_stats(
             sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, p_i)
             mean_s, _cnt_s, mom_s = window_stats_pallas(
                 sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
-                interpret=interp,
+                interpret=interp, kmode=kmode,
             )
             e = _entries_from_moments(mom_s)
             normals_s = _normals_from_entries(
@@ -322,7 +324,8 @@ def fused_neighborhood_stats(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "block_size", "window_blocks", "chunk_blocks", "passes", "backend"
+        "k", "block_size", "window_blocks", "chunk_blocks", "passes",
+        "backend", "kmode",
     ),
 )
 def window_mean_knn_dist(
@@ -334,6 +337,7 @@ def window_mean_knn_dist(
     chunk_blocks: int = 64,
     passes: int = 2,
     backend: str = "auto",
+    kmode: str = "sweep",
 ) -> jax.Array:
     """Mean distance to the k nearest window candidates (self included).
 
@@ -351,7 +355,8 @@ def window_mean_knn_dist(
 
         def pallas_one(pass_idx):
             mean, _entries, _cnt = _pallas_pass(
-                positions, mask, pass_idx, k, 0.0, window_blocks, interp
+                positions, mask, pass_idx, k, 0.0, window_blocks, interp,
+                kmode=kmode,
             )
             return mean
 

@@ -444,9 +444,43 @@ class PointcloudPreprocessorNode:
             compressed=self.pointcloud_save_compressed,
         )
 
+    def _view_projection(self, pos: np.ndarray):
+        """Camera basis from the visualize.front/lookat/up/zoom parameters
+        (Open3D ViewControl semantics, reference :337-367, :1024-1050):
+        orthographic projection onto the (right, up) plane of a camera whose
+        front vector points from the scene toward the camera; zoom scales
+        the view extent (smaller = closer). Returns (sx, sy, depth, half)."""
+        front = np.asarray(
+            self.params.get("visualize.front") or (0.0, 0.0, 1.0), float
+        )
+        up = np.asarray(self.params.get("visualize.up") or (0.0, 1.0, 0.0), float)
+        lookat_param = self.params.get("visualize.lookat")
+        lookat = (
+            np.asarray(lookat_param, float)
+            if lookat_param
+            else pos.mean(axis=0)
+        )
+        zoom = float(self.params.get("visualize.zoom")) or 1.0
+
+        f = front / max(np.linalg.norm(front), 1e-12)
+        r = np.cross(up, f)
+        if np.linalg.norm(r) < 1e-9:  # up parallel to front: pick any right
+            r = np.cross((1.0, 0.0, 0.0), f)
+            if np.linalg.norm(r) < 1e-9:
+                r = np.cross((0.0, 1.0, 0.0), f)
+        r = r / np.linalg.norm(r)
+        u2 = np.cross(f, r)
+
+        rel = pos - lookat
+        sx, sy, depth = rel @ r, rel @ u2, rel @ f
+        extent = pos.max(axis=0) - pos.min(axis=0) if len(pos) else np.ones(3)
+        half = max(float(np.linalg.norm(extent)) * 0.5 * zoom, 1e-6)
+        return sx, sy, depth, half
+
     def pointcloud_visualizer(self, pcd_number: str, out_soa) -> None:
         """Headless stand-in for the Open3D window (reference :1024-1050):
-        optional per-frame top-down PNG rendering."""
+        per-frame PNG rendering honoring the declared view parameters
+        (visualize.front/lookat/up/zoom/window_width/window_height)."""
         if not self.visualize:
             return
         if not self.visualizer_options["save_visualizer_image"]:
@@ -459,9 +493,15 @@ class PointcloudPreprocessorNode:
             self.logger.warning("matplotlib unavailable; cannot save visualizer image")
             return
         pos = out_soa["positions"]
-        fig, ax = plt.subplots(figsize=(8, 8))
-        ax.scatter(pos[:, 0], pos[:, 1], s=0.2, c=pos[:, 2], cmap="viridis")
+        sx, sy, depth, half = self._view_projection(pos)
+        w = int(self.params.get("visualize.window_width") or 1920)
+        h = int(self.params.get("visualize.window_height") or 1080)
+        fig, ax = plt.subplots(figsize=(w / 240.0, h / 240.0))
+        ax.scatter(sx, sy, s=0.2, c=depth, cmap="viridis")
+        ax.set_xlim(-half, half)
+        ax.set_ylim(-half * h / max(w, 1), half * h / max(w, 1))
         ax.set_aspect("equal")
+        ax.set_title(str(self.params.get("visualize.window_name") or ""))
         fig.savefig(
             os.path.join(
                 self.visualizer_options["visualizer_image_path"],

@@ -108,3 +108,49 @@ def test_pallas_backend_matches_xla_normals(rng):
     np_ = np.asarray(_normals_from_entries(*[ep[i] for i in range(6)], cp)).T
     dots = np.abs((nx * np_).sum(1))
     assert (dots > 0.999).mean() > 0.97
+
+
+def test_kernel_vmap_batches_on_grid(rng):
+    # vmap routes to the kernel's batch grid dimension (custom_vmap), so
+    # batched pipelines keep the Pallas path instead of falling back to XLA.
+    b, n = 3, 512
+    ptsb = [
+        _sorted_cloud(np.random.default_rng(s), n=n, invalid_tail=7)
+        for s in range(b)
+    ]
+    xs = jnp.stack([jnp.asarray(p[:, 0]) for p, _ in ptsb])
+    ys = jnp.stack([jnp.asarray(p[:, 1]) for p, _ in ptsb])
+    zs = jnp.stack([jnp.asarray(p[:, 2]) for p, _ in ptsb])
+    vs = jnp.stack([jnp.asarray(v) for _, v in ptsb])
+    k, radius = 6, 0.7
+
+    batched = jax.vmap(
+        lambda x, y, z, v: window_stats_pallas(
+            x, y, z, v, radius, k=k, interpret=True
+        )
+    )(xs, ys, zs, vs)
+
+    for i in range(b):
+        mean1, cnt1, mom1 = window_stats_pallas(
+            xs[i], ys[i], zs[i], vs[i], radius, k=k, interpret=True
+        )
+        np.testing.assert_allclose(batched[0][i], mean1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(batched[1][i], cnt1, rtol=0, atol=0)
+        np.testing.assert_allclose(batched[2][i], mom1, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_nan_positions_do_not_poison_windows(rng):
+    # regression: masked-out points keep NaN positions (mask-only pipeline);
+    # NaN candidates must not poison their window's min-sweep (NaN*0=NaN in
+    # the folded exclusion matmul turned whole windows' means to zero).
+    pts, valid = _sorted_cloud(rng, n=512, invalid_tail=0)
+    valid = valid.copy()
+    valid[::37] = False
+    pts[::37] = np.nan  # invalid rows carry NaN coords
+    x, y, z = (jnp.asarray(pts[:, i]) for i in range(3))
+    mean, cnt, mom = window_stats_pallas(
+        x, y, z, jnp.asarray(valid), 0.8, k=8, interpret=True
+    )
+    m = np.asarray(mean)[valid]
+    assert np.isfinite(m).all()
+    assert (m > 0).all()  # every live query found real neighbors

@@ -328,6 +328,34 @@ def test_visualizer_saves_png(tmp_path):
     assert os.listdir(tmp_path / "imgs") == ["00000000.png"]
 
 
+def test_visualizer_view_parameters_are_observable(tmp_path):
+    # VERDICT r1 item 9: front/lookat/up/zoom must actually shape the
+    # rendered view, not be silently ignored. A side-on view (front=+x)
+    # of a flat ground plane projects to a thin horizontal band; the
+    # top-down default projects to a full square. Compare projections.
+    pytest.importorskip("matplotlib")
+    node, bus, outputs = _make_node(
+        visualize=True,
+        **{"visualize.save_visualizer_image": True,
+           "visualize.visualizer_image_path": str(tmp_path / "imgs"),
+           "visualize.front": [1.0, 0.0, 0.0],
+           "visualize.up": [0.0, 0.0, 1.0],
+           "visualize.zoom": 0.5},
+    )
+    rng = np.random.default_rng(0)
+    pos = np.column_stack(
+        [rng.uniform(-10, 10, (2, 500)).T, rng.normal(0, 0.02, 500)]
+    ).astype(np.float32)
+    sx, sy, depth, half = node._view_projection(pos)
+    # side view: screen-y is world-z (flat!), screen-x is world-(-y)
+    assert np.abs(sy).max() < 0.5
+    assert np.abs(sx).max() > 5.0
+    # zoom scales the view extent
+    node.params.set_parameters([Parameter("visualize.zoom", 1.0)])
+    _sx, _sy, _d, half2 = node._view_projection(pos)
+    assert abs(half2 - 2 * half) / half2 < 1e-6
+
+
 def test_pipelined_node_overlap():
     bus = TopicBus()
     node = PointcloudPreprocessorNode(
