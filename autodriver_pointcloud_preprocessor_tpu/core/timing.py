@@ -55,6 +55,40 @@ REFERENCE_STAGE_KEYS = (
 )
 
 
+class ThrottledWarner:
+    """Per-key warning rate limiter (reference pointcloud_preprocessor.py
+    :806-807 ``throttle_duration_sec=60`` on repeated missing-field warns).
+
+    ``warn(key, message)`` forwards to the logger at most once per
+    ``period`` seconds per key; the clock is overridable like the time
+    sources above.
+    """
+
+    def __init__(
+        self,
+        logger,
+        period: float = 60.0,
+        clock: Callable[[bool], float] = get_current_time,
+    ):
+        self._logger = logger
+        self._period = period
+        self._clock = clock
+        self._last: Dict[str, float] = {}
+
+    def warn(self, key: str, message: str) -> bool:
+        """Emit ``message`` unless ``key`` warned within the period.
+
+        Returns True when the warning was actually emitted.
+        """
+        now = self._clock(True)
+        last = self._last.get(key)
+        if last is not None and now - last < self._period:
+            return False
+        self._last[key] = now
+        self._logger.warning(message)
+        return True
+
+
 class StageTimer:
     """Collects per-stage wall times into a ``processing_times``-style dict."""
 

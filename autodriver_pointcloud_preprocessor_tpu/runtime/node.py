@@ -38,7 +38,11 @@ from ..core.msg import (
     Time,
     make_pointcloud2,
 )
-from ..core.timing import get_current_time, get_time_difference
+from ..core.timing import (
+    ThrottledWarner,
+    get_current_time,
+    get_time_difference,
+)
 from ..core.codec import build_pointfields
 from ..models.preprocessor import Preprocessor
 from .bus import TopicBus, qos_from_name
@@ -161,6 +165,7 @@ class PointcloudPreprocessorNode:
     ):
         self.node_name = node_name
         self.logger = logging.getLogger(node_name)
+        self._warner = ThrottledWarner(self.logger, period=60.0)
         self.bus = bus if bus is not None else TopicBus()
 
         # -- parameters (declare + read, reference :128-269) ------------------
@@ -402,12 +407,30 @@ class PointcloudPreprocessorNode:
         """Device output -> structured array for publishing (:576-625)."""
         if self.pointfields is None or self.reset_fields:
             self.set_fields(ros_cloud)
-        return soa_to_structured(
+        out = soa_to_structured(
             out_soa,
             self.pointcloud_metadata,
             self.new_dtype,
             include_normals=self.pointcloud_metadata.get("has_normals", False),
         )
+        # throttled missing-field warning (reference :806-807, 60 s throttle):
+        # schema fields that no SoA attribute backs are zero-filled silently
+        # by the codec; surface that once a minute per field.
+        provided = {"x", "y", "z", "rgb", "normal_x", "normal_y", "normal_z"}
+        for name, arr in out_soa.items():
+            if arr is None or name in ("positions", "rgb", "normals"):
+                continue
+            provided.add(
+                self.pointcloud_metadata.get(f"{name}_field_name") or name
+            )
+        for field in out.dtype.names:
+            if field not in provided:
+                self._warner.warn(
+                    f"missing_field:{field}",
+                    f"output field '{field}' has no backing attribute in the "
+                    "processed cloud; publishing zeros",
+                )
+        return out
 
     def create_header(self, ros_cloud: PointCloud2, frame_id=None) -> Header:
         """Frame override + stamp source semantics (reference :628-641)."""

@@ -2,26 +2,29 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-* metric/value: full-pipeline scans/sec on a 128k-point scan (every stage
-  enabled: dedup, non-finite, crop, voxel, statistical outliers, normals,
-  RANSAC ground — the BASELINE.json north-star configuration), measured
-  with independent dispatches so the device pipelines scans (streaming
-  deployment behavior). p50 LATENCY is measured separately with a
-  data-dependency chain (no overlap) and drives vs_baseline.
-* vs_baseline: the reference publishes NO numbers (BASELINE.md) and its
-  Open3D stack is not installed here; the recorded comparison is against
-  the BASELINE.json north-star target of 1 ms per 128k-pt scan:
-  vs_baseline = 1.0 / pipelined_ms (>= 1.0 means the target is met).
-  The pipelined per-scan time is used because the serialized-latency
-  measurement varies ~2x run-to-run with this sandbox's host-link noise.
+* value: full-pipeline scans/sec on a 128k-point scan (every stage enabled:
+  dedup, non-finite, crop, voxel, statistical outliers, normals, RANSAC
+  ground — the BASELINE.json north-star configuration), measured with
+  independent glue-free dispatches so the device pipelines scans
+  (deployment streaming behavior).
+* vs_baseline = 1 ms / p50 device latency per scan, against the
+  BASELINE.json north-star target of 1 ms (>= 1.0 means target met).
 
-Timing methodology (PERF_NOTES.md): this backend's block_until_ready does
-not block, so scans are chained through a data dependency and the clock
-stops on a single-element D2H pull; the pull cost is measured separately
-and subtracted.
+Timing methodology (PERF_NOTES.md, round-2 revision): this backend's
+block_until_ready does not block AND every eager op / extra dispatch costs
+up to tens of ms of queue overhead, so
+
+* LATENCY is measured inside ONE jitted program: a lax.fori_loop chains K
+  pipeline invocations through a scalar data dependency (XLA cannot
+  collapse iterations); per-scan = (T(K) - T(1)) / (K - 1). This is pure
+  device compute with zero dispatch overhead — the number that scales.
+* THROUGHPUT uses K independent dispatches with pre-materialized keys (no
+  eager glue in the loop) and one final pull; the fixed sync cost cancels
+  via (T(K_hi) - T(K_lo)) / (K_hi - K_lo).
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -62,6 +65,9 @@ def main() -> None:
         PipelineSettings,
         build_pipeline,
     )
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        pipeline_runner,
+    )
 
     n_points = 128_000
     capacity = 131_072
@@ -88,12 +94,9 @@ def main() -> None:
     )
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)
     key = jax.random.PRNGKey(0)
+    runner = pipeline_runner(settings)
     fn = build_pipeline(settings)
 
-    def pull(b):
-        return bool(np.asarray(b.mask[:1]))
-
-    # compile + correctness sanity
     t0 = time.perf_counter()
     out, plane = fn(buf, params, key)
     survivors = int(valid_count(out))
@@ -102,42 +105,48 @@ def main() -> None:
     assert survivors > 0, "pipeline produced an empty cloud"
     assert np.isfinite(plane).all() and abs(plane[2]) > 0.9, plane
 
-    # sync-pull overhead baseline
-    pulls = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        pull(out)
-        pulls.append(time.perf_counter() - t0)
-    pull_ms = float(np.median(pulls)) * 1e3
+    # --- p50 LATENCY: K chained invocations inside ONE program -----------
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def chain(b0, p, k0, n_iter):
+        def body(i, acc):
+            b = b0.replace(positions=b0.positions * (1.0 + acc * 1e-30))
+            o, pl = runner(b, p, jax.random.fold_in(k0, i))
+            return acc + (jnp.sum(o.positions[:, :2]) + jnp.sum(pl)) * 1e-30
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
-    K = 20
-    # p50 LATENCY: chain scans through a data dependency so the device
-    # cannot overlap consecutive scans
-    times = []
-    for rep in range(5):
-        t0 = time.perf_counter()
-        carry = buf
-        o = out
-        for i in range(K):
-            o, p = fn(carry, params, jax.random.fold_in(key, i))
-            carry = carry.replace(
-                positions=buf.positions + p[3] * jnp.float32(1e-12)
-            )
-        pull(o)
-        times.append(time.perf_counter() - t0)
-    per_scan_ms = (np.median(times) - np.median(pulls)) * 1e3 / K
-    per_scan_ms = max(per_scan_ms, 1e-3)
+    K = 32
+    reps = 7
+    t = {}
+    for n_iter in (1, K):
+        np.asarray(chain(buf, params, key, n_iter))  # compile + settle
+        samples = []
+        for _ in range(reps):
+            s0 = time.perf_counter()
+            np.asarray(chain(buf, params, key, n_iter))
+            samples.append(time.perf_counter() - s0)
+        t[n_iter] = float(np.median(samples))
+    latency_ms = max((t[K] - t[1]) * 1e3 / (K - 1), 1e-3)
 
-    # THROUGHPUT: independent dispatches (each scan a fresh key) let the
-    # device pipeline scans — how a deployment actually streams
-    tput = []
-    for rep in range(5):
-        t0 = time.perf_counter()
-        for i in range(K):
-            o, p = fn(buf, params, jax.random.fold_in(key, rep * K + i))
-        pull(o)
-        tput.append(time.perf_counter() - t0)
-    tput_ms = max((np.median(tput) - np.median(pulls)) * 1e3 / K, 1e-3)
+    # --- THROUGHPUT: independent glue-free dispatches ---------------------
+    def pull(b):
+        return bool(np.asarray(b.mask[:1]))
+
+    k_lo, k_hi = 8, 40
+    keys = [jax.device_put(k) for k in jax.random.split(key, k_hi)]
+    for k_ in keys:
+        k_.block_until_ready()
+    tput = {}
+    for kk in (k_lo, k_hi):
+        samples = []
+        for _ in range(reps):
+            s0 = time.perf_counter()
+            o = out
+            for i in range(kk):
+                o, _p = fn(buf, params, keys[i])
+            pull(o)
+            samples.append(time.perf_counter() - s0)
+        tput[kk] = float(np.median(samples))
+    tput_ms = max((tput[k_hi] - tput[k_lo]) * 1e3 / (k_hi - k_lo), 1e-3)
     scans_per_sec = 1000.0 / tput_ms
 
     target_ms = 1.0  # BASELINE.json north star
@@ -145,11 +154,11 @@ def main() -> None:
         "metric": "128k-pt full-pipeline scans/sec (one TPU core)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
-        "vs_baseline": round(target_ms / tput_ms, 3),
+        "vs_baseline": round(target_ms / latency_ms, 3),
     }
     print(
-        f"[bench] compile {compile_s:.1f}s, pull {pull_ms:.1f}ms, "
-        f"p50 latency {per_scan_ms:.2f}ms/scan, "
+        f"[bench] compile {compile_s:.1f}s, "
+        f"p50 device latency {latency_ms:.2f}ms/scan, "
         f"pipelined {tput_ms:.2f}ms/scan, survivors {survivors}, "
         f"plane {np.round(plane, 3).tolist()}",
         file=sys.stderr,

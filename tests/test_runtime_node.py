@@ -375,3 +375,26 @@ def test_pipelined_node_overlap():
     a = read_points(outputs[0])
     ref = read_points(_velodyne_msg(seed=0))
     np.testing.assert_allclose(np.sort(a["x"]), np.sort(ref["x"]), atol=1e-5)
+
+
+def test_throttled_missing_field_warning(caplog):
+    # reference :806-807 analog: a schema field with no backing attribute
+    # warns at most once per throttle period
+    import logging as _logging
+
+    from autodriver_pointcloud_preprocessor_tpu.core.timing import (
+        ThrottledWarner,
+    )
+
+    t = {"now": 0.0}
+    logger = _logging.getLogger("throttle-test")
+    w = ThrottledWarner(logger, period=60.0, clock=lambda mono=True: t["now"])
+    with caplog.at_level(_logging.WARNING, logger="throttle-test"):
+        assert w.warn("k", "msg")
+        assert not w.warn("k", "msg")      # inside period: suppressed
+        t["now"] = 59.0
+        assert not w.warn("k", "msg")
+        t["now"] = 61.0
+        assert w.warn("k", "msg")          # period elapsed: emitted
+        assert w.warn("other", "msg2")     # independent key
+    assert len(caplog.records) == 3
