@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.scan import ScanBuffer
+from ..core.scan import ScanBuffer, valid_count
 from .. import ops
 
 
@@ -53,6 +53,17 @@ class PipelineSettings:
     #: 'uniform' | 'farthest_point'
     downsample_method: str = "voxel"
     fps_num_samples: int = 4096  # static (farthest_point loop bound)
+    #: shrink the buffer to this capacity right after downsampling (0 =
+    #: off). Downsampling typically drops >60% of points but mask-only
+    #: stages still pay full capacity; the dominant neighborhood stage
+    #: scales ~linearly with capacity, so a post-downsample bucket of
+    #: capacity//2 nearly halves it. Capped-output semantics: when more
+    #: points survive than the bucket holds, a deterministic UNBIASED
+    #: subsample of the survivors is kept (ops.subsample_to) — pick a
+    #: bucket with headroom over the expected voxel count to make the cap
+    #: a no-op. Must be a multiple of 512 for the Pallas kernels
+    #: downstream.
+    post_downsample_capacity: int = 0
     remove_statistical_outliers: bool = False
     nb_neighbors: int = 20
     remove_radius_outliers: bool = False
@@ -85,6 +96,13 @@ class PipelineSettings:
     #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
     #: are computed on the pre-outlier-filter cloud.
     fuse_neighborhood: bool = True
+
+    def __post_init__(self):
+        cap = self.post_downsample_capacity
+        if cap > 0 and cap % 512 != 0:
+            raise ValueError(
+                f"post_downsample_capacity must be a multiple of 512, got {cap}"
+            )
 
 
 @jax.tree_util.register_dataclass
@@ -153,6 +171,7 @@ STAGE_TIMING_KEYS = {
     "transform": "transform",
     "crop": "crop",
     "voxel": "voxel_downsampling",
+    "shrink": "voxel_downsampling",
     "outliers": "remove_statistical_outliers",
     "radius_outliers": "remove_radius_outliers",
     "normals": "normal_estimation",
@@ -227,6 +246,31 @@ def stage_functions(settings: PipelineSettings):
             )
         else:
             raise ValueError(f"unknown downsample_method {method!r}")
+
+        if settings.post_downsample_capacity > 0:
+            cap = settings.post_downsample_capacity  # 512-aligned (__post_init__)
+
+            def shrink(b, p, k):
+                if cap >= b.capacity:  # nothing to shrink (static check)
+                    return b, None
+                if method == "voxel":
+                    # voxel output is front-compacted (segment s lands at
+                    # slot s): the common within-budget case is a FREE
+                    # static prefix slice. On overflow a prefix in
+                    # voxel-key order would keep one spatially contiguous
+                    # slab (catastrophic: e.g. only the ground band), so
+                    # fall over to the unbiased hash subsample.
+                    return jax.lax.cond(
+                        valid_count(b) > cap,
+                        lambda bb: ops.subsample_to(bb, cap),
+                        lambda bb: ops.shrink_front(bb, cap),
+                        b,
+                    ), None
+                # mask-only downsamplers: one variadic sort compacts AND
+                # caps without bias (cheaper than compact_to's gathers)
+                return ops.subsample_to(b, cap), None
+
+            stages.append(("shrink", shrink))
 
     fuse = (
         settings.fuse_neighborhood
@@ -396,6 +440,7 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         voxel_downsample=float(cfg.get("voxel_size", 0.01)) > 0.0,
         downsample_method=str(cfg.get("downsample_method", "voxel")),
         fps_num_samples=int(cfg.get("downsample.num_samples", 4096)),
+        post_downsample_capacity=int(cfg.get("downsample.max_points", 0)),
         remove_statistical_outliers=bool(
             cfg.get("remove_statistical_outliers", False)
         ),

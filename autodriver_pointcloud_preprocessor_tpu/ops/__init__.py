@@ -4,7 +4,13 @@ TPU-native replacements for the Open3D C++/CUDA kernel inventory in
 SURVEY.md §2b. Every op is mask-only (no compaction) and jit-safe; numeric
 params are traced so live reconfigure never recompiles.
 """
-from .compact import compact, compact_to, compaction_order
+from .compact import (
+    compact,
+    compact_to,
+    compaction_order,
+    shrink_front,
+    subsample_to,
+)
 from .crop import crop_box
 from .downsample import (
     farthest_point_downsample,

@@ -128,7 +128,7 @@ def _kernel(
             d2i = pltpu.bitcast(d2, jnp.int32)
             packed_d = pltpu.bitcast((d2i & ~2047) | rows, jnp.float32)
 
-            def sweep(_, carry):
+            def sweep(carry):
                 d, acc, cnt = carry
                 mn = jnp.min(d, axis=0, keepdims=True)  # (1, B), unique
                 hit = mn < _BIG / 2
@@ -143,7 +143,14 @@ def _kernel(
                 return d, acc, cnt
 
             zero = jnp.zeros((1, _B), jnp.float32)
-            _, acc, cnt = jax.lax.fori_loop(0, k, sweep, (packed_d, zero, zero))
+            # UNROLLED (k is static): a lax.fori_loop here costs ~0.9 ms of
+            # pure Mosaic loop overhead per kernel pass at 131k — unrolling
+            # lets the compiler software-pipeline the iterations (measured
+            # 2.22 -> 1.31 ms/pass for the bisect variant)
+            carry = (packed_d, zero, zero)
+            for _ in range(k):
+                carry = sweep(carry)
+            _, acc, cnt = carry
             mean = acc / jnp.maximum(cnt, 1.0)
         else:
             # ---- mean distance of ~k nearest (threshold bisection) ----
@@ -158,7 +165,7 @@ def _kernel(
             hi0 = jnp.max(jnp.where(validd, d2, 0.0), axis=0, keepdims=True)
             lo0 = jnp.zeros_like(hi0)
 
-            def bisect(_, carry):
+            def bisect(carry):
                 lo, hi = carry
                 mid = 0.5 * (lo + hi)
                 c = jnp.sum(
@@ -167,7 +174,12 @@ def _kernel(
                 enough = c >= kf
                 return jnp.where(enough, lo, mid), jnp.where(enough, mid, hi)
 
-            _lo, t = jax.lax.fori_loop(0, _BISECT, bisect, (lo0, hi0))
+            # UNROLLED (_BISECT is static): see the sweep branch note —
+            # fori_loop costs ~0.9 ms/pass of Mosaic loop overhead here
+            carry = (lo0, hi0)
+            for _ in range(_BISECT):
+                carry = bisect(carry)
+            _lo, t = carry
             inside = jnp.where(d2 <= t, 1.0, 0.0)
             cnt = jnp.sum(inside, axis=0, keepdims=True)
             sum_d = jnp.sum(

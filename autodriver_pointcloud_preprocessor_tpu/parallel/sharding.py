@@ -238,6 +238,31 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
                 buf = ops.uniform_downsample(buf, params.every_k_points)
             else:  # farthest_point: per-shard samples
                 buf = ops.farthest_point_downsample(buf, settings.fps_num_samples)
+            if settings.post_downsample_capacity > 0:
+                # per-shard share of the global post-downsample bucket,
+                # rounded up to the Pallas alignment quantum. Shards cap
+                # INDEPENDENTLY: size the bucket for the max per-shard
+                # survivor count (shards are balanced when input buffers
+                # are filled near capacity, since shard_buffer's spatial
+                # sort packs live points first)
+                n_shards = jax.lax.axis_size(axis_name)
+                local_cap = -(-settings.post_downsample_capacity // n_shards)
+                local_cap = -(-local_cap // 512) * 512
+                if local_cap < buf.capacity:
+                    if settings.downsample_method == "voxel":
+                        # free prefix slice within budget; unbiased hash
+                        # subsample on overflow (a voxel-key-order prefix
+                        # would keep one spatial slab — see ops.compact)
+                        from ..core.scan import valid_count as _vc
+
+                        buf = jax.lax.cond(
+                            _vc(buf) > local_cap,
+                            lambda b: ops.subsample_to(b, local_cap),
+                            lambda b: ops.shrink_front(b, local_cap),
+                            buf,
+                        )
+                    else:
+                        buf = ops.subsample_to(buf, local_cap)
         if settings.remove_statistical_outliers:
             buf = _sharded_outliers(
                 buf,

@@ -101,6 +101,7 @@ PARAMETER_DEFAULTS = [
     ("downsample.sampling_ratio", 0.5),
     ("downsample.every_k_points", 5),
     ("downsample.num_samples", 4096),
+    ("downsample.max_points", 0),
     ("remove_ground.method", "ransac"),
     ("estimate_normals", True),
     ("estimate_normals.search_radius", 0.1),
@@ -140,6 +141,7 @@ _ENGINE_KEYS = {
     "remove_radius_outliers.search_radius",
     "downsample_method", "downsample.sampling_ratio",
     "downsample.every_k_points", "downsample.num_samples",
+    "downsample.max_points",
     "remove_ground.method",
     "estimate_normals", "estimate_normals.search_radius",
     "estimate_normals.max_neighbors",
@@ -659,6 +661,18 @@ class PointcloudPreprocessorNode:
                 if name in ("remove_nans", "remove_infs"):
                     setattr(self, name, value)
                 self.engine.update_config({name: value})
+            elif name == "downsample.max_points":
+                # must satisfy the Pallas alignment constraint up front —
+                # accepting it would make every later scan raise at
+                # pipeline-build time and be dropped (mirrors bad-ROI
+                # rejection semantics, reference :955-957)
+                if int(value) % 512 == 0:
+                    self.engine.update_config({name: int(value)})
+                else:
+                    result.successful = False
+                    result.reason = (
+                        "downsample.max_points must be a multiple of 512"
+                    )
             elif name in ("roi_min", "roi_max"):
                 if len(value) == 3:
                     self.engine.update_config({name: list(value)})

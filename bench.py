@@ -91,6 +91,10 @@ def main() -> None:
         ransac_n=3,
         num_iterations=100,
         knn_method="window",
+        # NOTE: post_downsample_capacity stays OFF here: voxel @0.08 on
+        # this scene leaves ~115k live points (ground removal at the END
+        # is what cuts to ~47k), so any post-voxel bucket < 128k would
+        # silently drop real points and flatter the number.
     )
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)
     key = jax.random.PRNGKey(0)

@@ -246,3 +246,34 @@ def test_sharded_pipeline_is_compiled_spmd(rng):
     fn = build_sharded_pipeline(settings, mesh)
     out, _ = fn(sb, PipelineParams.make(voxel_size=0.1), jax.random.PRNGKey(1))
     assert out.positions.sharding.spec == jax.sharding.PartitionSpec(None, "point")
+
+
+def test_sharded_post_downsample_shrink(rng):
+    # per-shard post-downsample bucket: output capacity is the rounded
+    # per-shard share x n_shards; survivors preserved when they fit
+    import dataclasses
+
+    pts = _scene(rng, 2000, 400)
+    buf, _ = from_soa({"positions": pts}, capacity=8192)
+    mesh = make_mesh()  # 8 devices -> local capacity 1024
+    settings = PipelineSettings(
+        estimate_normals=False, post_downsample_capacity=4096,
+    )
+    params = PipelineParams.make(voxel_size=0.15)
+    key = jax.random.PRNGKey(0)
+    base = dataclasses.replace(settings, post_downsample_capacity=0)
+    out_b, _ = build_sharded_pipeline(base, mesh)(
+        shard_buffer(buf, mesh), params, key
+    )
+    out_s, _ = build_sharded_pipeline(settings, mesh)(
+        shard_buffer(buf, mesh), params, key
+    )
+    # 4096 global / 8 shards = 512 local (already 512-aligned). Each shard
+    # caps independently (voxel output is front-compacted per shard), so
+    # the surviving count is sum_i min(survivors_i, 512).
+    assert out_s.positions.shape[-1] == 4096
+    n_shards = len(mesh.devices.ravel())
+    base_counts = np.asarray(out_b.mask).reshape(n_shards, -1).sum(axis=1)
+    expected = int(np.minimum(base_counts, 512).sum())
+    assert int(valid_count(out_s)) == expected
+    assert expected > 0

@@ -180,3 +180,88 @@ def test_preprocessor_batch(rng):
     for o, p in zip(outs, np.asarray(planes)):
         assert 0 < int(valid_count(o)) < 1024
         assert abs(p[2]) > 0.9
+
+
+def test_post_downsample_shrink_matches_unshrunk(rng):
+    # voxel output is front-compacted, so a post-downsample bucket with
+    # headroom must leave the survivor SET (and downstream results)
+    # identical — only the capacity changes.
+    import dataclasses
+
+    pts = _scene(rng)  # 2500 pts; voxel @0.2 leaves ~2200 (< 2560 bucket)
+    buf, _ = from_soa({"positions": pts}, capacity=4096)
+    base = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=10,
+        remove_ground=True, num_iterations=32, ransac_n=3,
+        estimate_normals=True, max_neighbors=12,
+    )
+    shrunk = dataclasses.replace(base, post_downsample_capacity=2560)
+    params = PipelineParams.make(voxel_size=0.2, distance_threshold=0.08)
+    key = jax.random.PRNGKey(0)
+    out_a, plane_a = build_pipeline(base)(buf, params, key)
+    out_b, plane_b = build_pipeline(shrunk)(buf, params, key)
+    assert out_b.capacity == 2560 and out_a.capacity == 4096
+    na, nb = int(valid_count(out_a)), int(valid_count(out_b))
+    assert na == nb
+    pa = np.asarray(out_a.positions)[:, np.asarray(out_a.mask)]
+    pb = np.asarray(out_b.positions)[:, np.asarray(out_b.mask)]
+    np.testing.assert_allclose(
+        np.sort(pa, axis=1), np.sort(pb, axis=1), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(plane_a), np.asarray(plane_b), atol=1e-6)
+
+
+def test_post_downsample_shrink_caps_overflow(rng):
+    # survivors beyond the bucket are dropped (capped-output semantics) —
+    # and the retained subset is spatially UNBIASED: a voxel-key-order
+    # prefix would keep one contiguous slab of the scene
+    pts = rng.uniform(-50, 50, (3000, 3)).astype(np.float32)  # no voxel merging
+    buf, _ = from_soa({"positions": pts}, capacity=4096)
+    s = PipelineSettings(
+        estimate_normals=False, crop_to_roi=False,
+        post_downsample_capacity=512,
+    )
+    params = PipelineParams.make(voxel_size=0.01)
+    out, _ = build_pipeline(s)(buf, params, jax.random.PRNGKey(0))
+    assert out.capacity == 512
+    assert int(valid_count(out)) == 512
+    kept = np.asarray(out.positions)[:, np.asarray(out.mask)]
+    # uniform cube input: an unbiased 512-point subsample spans nearly the
+    # full bbox on every axis (a slab prefix would span ~1/6 of one axis)
+    span = kept.max(axis=1) - kept.min(axis=1)
+    assert (span > 80.0).all(), span
+
+
+def test_post_downsample_overflow_keeps_all_structures(rng):
+    # regression: cap overflow + ground removal. With a biased (voxel-key
+    # prefix) cap the bucket filled with the lowest band of the scene and
+    # ground removal then deleted EVERYTHING (0 survivors). The unbiased
+    # subsample must retain off-ground structure.
+    ground = np.column_stack(
+        [rng.uniform(-10, 10, (3000, 2)), rng.normal(0, 0.01, 3000)]
+    ).astype(np.float32)
+    cluster = rng.normal([2.0, 2.0, 1.0], 0.2, (500, 3)).astype(np.float32)
+    buf, _ = from_soa(
+        {"positions": np.vstack([ground, cluster])}, capacity=4096
+    )
+    s = PipelineSettings(
+        remove_statistical_outliers=True, estimate_normals=False,
+        remove_ground=True, post_downsample_capacity=1024,
+    )
+    params = PipelineParams.make(voxel_size=0.15, distance_threshold=0.05)
+    out, plane = build_pipeline(s)(buf, params, jax.random.PRNGKey(0))
+    n = int(valid_count(out))
+    assert n > 50, n  # cluster points survive ground removal
+    kept = np.asarray(out.positions)[:, np.asarray(out.mask)]
+    assert kept[2].max() > 0.5  # and they are the off-ground ones
+    assert abs(np.asarray(plane)[2]) > 0.9
+
+
+def test_post_downsample_shrink_noop_when_larger(rng):
+    # bucket >= capacity: stage is a static no-op, shapes unchanged
+    pts = _scene(rng, 300, 100)
+    buf, _ = from_soa({"positions": pts}, capacity=512)
+    s = PipelineSettings(estimate_normals=False, post_downsample_capacity=1024)
+    out, _ = build_pipeline(s)(buf, params=PipelineParams.make(voxel_size=0.2),
+                               key=jax.random.PRNGKey(0))
+    assert out.capacity == 512
