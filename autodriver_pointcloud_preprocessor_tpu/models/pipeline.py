@@ -87,10 +87,11 @@ class PipelineSettings:
     #: candidate halo per side in 128-point blocks for the window kernel;
     #: 1 = 384-candidate windows (fast), 2 = 640 (higher recall)
     window_blocks: int = 1
-    #: k-distance extraction in the Pallas window kernel: 'bisect'
-    #: (threshold bisection, ~2x cheaper, within ~0.6% of sweep) or
-    #: 'sweep' (exact k min-extractions)
-    knn_kmode: str = "bisect"
+    #: k-distance extraction in the Pallas window kernel: 'sweep' (exact
+    #: k min-extractions — after loop unrolling it costs the same as
+    #: bisect at k=20, so exact is the default) or 'bisect' (threshold
+    #: bisection, k-INDEPENDENT cost: cheaper when nb_neighbors is large)
+    knn_kmode: str = "sweep"
     #: when outliers AND normals are both enabled on the window path, run
     #: them as ONE shared neighborhood sweep (ops/window.py
     #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
@@ -455,7 +456,7 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         knn_method=str(cfg.get("knn_method", "auto")),
         neighborhood_passes=int(cfg.get("neighborhood_passes", 2)),
         window_blocks=int(cfg.get("window_blocks", 1)),
-        knn_kmode=str(cfg.get("knn_kmode", "bisect")),
+        knn_kmode=str(cfg.get("knn_kmode", "sweep")),
         fuse_neighborhood=bool(cfg.get("fuse_neighborhood", True)),
     )
 

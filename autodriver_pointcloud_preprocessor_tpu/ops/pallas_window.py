@@ -5,28 +5,39 @@ materializes (N, window) candidate/distance tensors in HBM — ~2 GB of
 traffic per pass at 131k points, measured at +57 ms (outliers) / +14 ms
 (normals) per scan. This kernel keeps everything in VMEM:
 
-* squared distances for one 128-query block against its 640-candidate
-  window come from ONE MXU matmul via the feature trick
+* each grid step DMAs a 4-row (x, y, z, invalid-flag) window slice from
+  HBM into a double-buffered VMEM scratch (prefetching step i+1 while
+  computing step i) and derives all matmul feature rows IN-KERNEL from
+  those four rows — 8x less HBM traffic than shipping precomputed
+  features, and it lets every feature be computed about a LOCAL origin;
+* coordinates are centered per 128-query sub-block (subtract the query
+  block's mean): squared distances and covariance moments are
+  translation-invariant, and centering shrinks the |c|^2 + |q|^2 - 2 c.q
+  cancellation from (scene radius)^2 to (window span)^2, so the f32
+  matmul's conditioning no longer depends on how far the scan sits from
+  the sensor origin;
+* squared distances for one 128-query block against its candidate window
+  come from ONE MXU matmul via the feature trick
   ``[x, y, z, |c|^2, 1, BIG*invalid] . [-2x, -2y, -2z, 1, |q|^2, 1]``
   — invalid-candidate exclusion is folded into the same contraction.
-  ``Precision.HIGHEST`` is required: the MXU's default bf16 multiply
-  destroys the |c|^2+|q|^2-2cq cancellation (measured: every mean-kNN
-  distance off by ~1%, and collided float values made tie-masking skip
-  real neighbors);
-* mean-of-k-nearest comes from k min-extraction sweeps on the VPU, each
-  masking exactly one argmin winner;
+  ``Precision.HIGHEST`` is still required (the MXU's default bf16
+  multiply rounds ~0.4% of the span — enough to misorder near ties);
+* mean-of-k-nearest comes from k min-extraction sweeps on the VPU, or
+  ~2x cheaper threshold bisection (kmode='bisect') whose initial upper
+  bound is the query block's own max distance (a valid bound on the k-th
+  distance whenever the block holds >= k valid candidates — typically
+  5-10x tighter than the whole window's max, worth ~2 bisection bits);
 * covariance raw moments (for normal PCA) come from a second matmul
   ``G(10, M) @ w(M, B)`` where G rows are [1, x, y, z, xx, yy, zz, xy,
-  xz, yz] and w is the in-radius indicator — centering happens outside
-  the kernel from the raw moments.
+  xz, yz] of the CENTERED coordinates — centering outside the kernel
+  (ops/window._entries_from_moments) is origin-invariant, so moments
+  about the per-block origin yield identical covariance entries.
 
 Candidate windows overlap between grid blocks, which BlockSpec cannot
-express; all 32 feature rows live in one HBM array and each grid step
-DMAs one (32, window) slice into a double-buffered VMEM scratch,
-prefetching step i+1's window while computing step i.
+express; the window slices are DMA'd explicitly with 128-aligned offsets.
 
-HBM traffic per pass drops to ~35 MB. Used by ops/window.py when running
-on TPU; the XLA path remains as the portable fallback and the
+HBM traffic per pass is ~4.5 MB. Used by ops/window.py when running on
+TPU; the XLA path remains as the portable fallback and the
 interpret-mode oracle for tests.
 """
 from __future__ import annotations
@@ -42,18 +53,20 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["window_stats_pallas"]
 
 _BIG = 1e30
-_BISECT = 11  # bisection iterations for kmode='bisect' (band ~ hi / 2^11)
+_BISECT = 9  # bisection iterations for kmode='bisect'; the center-block
+             # initial bound is ~2 bits tighter than the full-window max,
+             # so 9 iterations match the accuracy 11 had from a loose bound
 _B = 128  # sweep block: keeps the k-extraction loop carry small (a (window,
           # 512) carry spills VMEM and measures ~1.5x slower end to end)
 _G = 4  # sweep blocks per grid step: one wide DMA amortizes per-step cost
-_F = 32  # feature rows: 0-7 candidate, 8-23 moment, 24-31 query
+_F = 4  # HBM rows per scan: x, y, z, BIG*invalid
 
 
 def _kernel(
     r2_ref,  # SMEM (batch, 1) squared radius per scan
-    feat_hbm,  # ANY (batch, 32, Npad) combined feature rows
+    feat_hbm,  # ANY (batch, 4, Npad) x/y/z/BIG*invalid rows
     mom_ref,  # VMEM out (16, B): rows 0-9 moments, 10 mean_knn, 11 count
-    feat_vmem,  # scratch (2, 32, window) double buffer
+    feat_vmem,  # scratch (2, 4, window) double buffer
     sems,  # DMA semaphores (2,)
     *,
     k: int,
@@ -91,10 +104,34 @@ def _kernel(
 
     r2 = r2_ref[b, 0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (sub_window, _B), 0)
+    center_row = (rows >= halo) & (rows < halo + _B)
     results = []
     for g in range(qb // _B):
-        cand = feat[0:8, g * _B : g * _B + sub_window]
-        qry = feat[24:32, halo + g * _B : halo + (g + 1) * _B]
+        cx = feat[0:1, g * _B : g * _B + sub_window]
+        cy = feat[1:2, g * _B : g * _B + sub_window]
+        cz = feat[2:3, g * _B : g * _B + sub_window]
+        cbig = feat[3:4, g * _B : g * _B + sub_window]
+        qx = feat[0:1, halo + g * _B : halo + (g + 1) * _B]
+        qy = feat[1:2, halo + g * _B : halo + (g + 1) * _B]
+        qz = feat[2:3, halo + g * _B : halo + (g + 1) * _B]
+
+        # local origin: the query block's coordinate mean (any fixed point
+        # near the window works — d2 and centered covariance are
+        # translation-invariant; see module docstring)
+        c0x = jnp.sum(qx, axis=1, keepdims=True) * (1.0 / _B)
+        c0y = jnp.sum(qy, axis=1, keepdims=True) * (1.0 / _B)
+        c0z = jnp.sum(qz, axis=1, keepdims=True) * (1.0 / _B)
+        cxc, cyc, czc = cx - c0x, cy - c0y, cz - c0z
+        qxc, qyc, qzc = qx - c0x, qy - c0y, qz - c0z
+
+        one = jnp.ones_like(cx)
+        qone = jnp.ones_like(qx)
+        nsq = cxc * cxc + cyc * cyc + czc * czc
+        qnsq = qxc * qxc + qyc * qyc + qzc * qzc
+        cand = jnp.concatenate([cxc, cyc, czc, nsq, one, cbig], axis=0)
+        qry = jnp.concatenate(
+            [-2.0 * qxc, -2.0 * qyc, -2.0 * qzc, qone, qnsq, qone], axis=0
+        )
 
         # (sub_window, B) squared distances (+BIG for invalid candidates)
         # in one matmul
@@ -108,9 +145,18 @@ def _kernel(
         d2 = jnp.maximum(d2, 0.0)
 
         # ---- covariance raw moments over in-radius candidates ----
+        # about the block origin c0 — origin-invariant consumers only
         w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
+        gmat = jnp.concatenate(
+            [
+                one, cxc, cyc, czc,
+                cxc * cxc, cyc * cyc, czc * czc,
+                cxc * cyc, cxc * czc, cyc * czc,
+            ],
+            axis=0,
+        )
         moments = jax.lax.dot_general(
-            feat[8:24, g * _B : g * _B + sub_window],
+            gmat,
             w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -158,11 +204,23 @@ def _kernel(
             # iterations narrow a distance threshold t to where
             # count(d2 <= t) ~= k, then one masked sum gives the mean with
             # an at-threshold correction for the overcount. Error bound:
-            # the band width hi/2^_BISECT (relative), on an estimate the
+            # the band width hi0/2^_BISECT (relative), on an estimate the
             # Hilbert window already makes approximate.
             validd = d2 < _BIG / 2
             kf = jnp.float32(k)
-            hi0 = jnp.max(jnp.where(validd, d2, 0.0), axis=0, keepdims=True)
+            hi_full = jnp.max(
+                jnp.where(validd, d2, 0.0), axis=0, keepdims=True
+            )
+            # tighter initial bound: the query block's own max distance
+            # bounds the k-th smallest whenever the block has >= k valid
+            # candidates (k=20 of 128); fall back to the window max when
+            # it does not
+            validc = validd & center_row
+            cnt_c = jnp.sum(
+                jnp.where(validc, 1.0, 0.0), axis=0, keepdims=True
+            )
+            hi_c = jnp.max(jnp.where(validc, d2, 0.0), axis=0, keepdims=True)
+            hi0 = jnp.where(cnt_c >= kf, hi_c, hi_full)
             lo0 = jnp.zeros_like(hi0)
 
             def bisect(carry):
@@ -179,8 +237,8 @@ def _kernel(
             carry = (lo0, hi0)
             for _ in range(_BISECT):
                 carry = bisect(carry)
-            _lo, t = carry
-            inside = jnp.where(d2 <= t, 1.0, 0.0)
+            _lo, thr = carry
+            inside = jnp.where(d2 <= thr, 1.0, 0.0)
             cnt = jnp.sum(inside, axis=0, keepdims=True)
             sum_d = jnp.sum(
                 inside * jnp.sqrt(jnp.maximum(d2, 0.0)), axis=0, keepdims=True
@@ -188,36 +246,16 @@ def _kernel(
             extra = jnp.maximum(cnt - kf, 0.0)
             mean = jnp.where(
                 cnt >= kf,
-                (sum_d - extra * jnp.sqrt(jnp.maximum(t, 0.0))) / kf,
+                (sum_d - extra * jnp.sqrt(jnp.maximum(thr, 0.0))) / kf,
                 sum_d / jnp.maximum(cnt, 1.0),
             )
             cnt = jnp.minimum(cnt, kf)
         results.append(
-            jnp.concatenate([moments[:10], mean, cnt, moments[12:]])
+            jnp.concatenate(
+                [moments, mean, cnt, jnp.zeros((4, _B), jnp.float32)]
+            )
         )
     mom_ref[0, :, :] = jnp.concatenate(results, axis=1)
-
-
-def _features(x, y, z, valid_f):
-    """Combined (..., 32, N) feature rows: candidate, moment, query."""
-    nsq = x * x + y * y + z * z
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    big_invalid = (1.0 - valid_f) * _BIG
-    return jnp.stack(
-        [
-            # 0-7: candidate features
-            x, y, z, nsq, one, big_invalid, zero, zero,
-            # 8-23: moment features
-            one, x, y, z,
-            x * x, y * y, z * z,
-            x * y, x * z, y * z,
-            zero, zero, zero, zero, zero, zero,
-            # 24-31: query features
-            -2.0 * x, -2.0 * y, -2.0 * z, one, nsq, one, zero, zero,
-        ],
-        axis=-2,
-    )
 
 
 def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
@@ -246,16 +284,19 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
     finite = jnp.isfinite(sx) & jnp.isfinite(sy) & jnp.isfinite(sz)
     valid_f = (sv & finite).astype(jnp.float32)
     zero = jnp.zeros_like(sx)
-    feat = _features(
-        jnp.where(finite, sx, zero),
-        jnp.where(finite, sy, zero),
-        jnp.where(finite, sz, zero),
-        valid_f,
-    )  # (B, 32, N)
+    feat = jnp.stack(
+        [
+            jnp.where(finite, sx, zero),
+            jnp.where(finite, sy, zero),
+            jnp.where(finite, sz, zero),
+            (1.0 - valid_f) * _BIG,
+        ],
+        axis=-2,
+    )  # (B, 4, N)
     feat = jnp.pad(feat, ((0, 0), (0, 0), (pad, pad)))
-    # padded candidate columns must be invalid -> BIG in feature row 5
+    # padded candidate columns must be invalid -> BIG in feature row 3
     pad_mask = jnp.zeros(n + 2 * pad, jnp.float32).at[pad : pad + n].set(1.0)
-    feat = feat.at[:, 5, :].add((1.0 - pad_mask) * _BIG)
+    feat = feat.at[:, 3, :].add((1.0 - pad_mask) * _BIG)
 
     r2 = jnp.broadcast_to(
         jnp.asarray(radius, jnp.float32) ** 2, (batch,)
@@ -352,8 +393,11 @@ def window_stats_pallas(
         (mean_knn_dist float32[N], knn_count float32[N],
          moments float32[10, N]) — moments rows are
          [n, Sx, Sy, Sz, Sxx, Syy, Szz, Sxy, Sxz, Syz] over in-radius
-         candidates (self included). Entries for invalid queries are
-         meaningless; callers mask.
+         candidates (self included), taken about an ARBITRARY per-block
+         origin: only origin-invariant consumers (the count and the
+         centered covariance entries, ops/window._entries_from_moments)
+         may use them. Entries for invalid queries are meaningless;
+         callers mask.
     """
     fn = _make_window_stats(k, window_blocks, interpret, kmode)
     return fn(

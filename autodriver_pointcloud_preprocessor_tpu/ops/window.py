@@ -279,28 +279,39 @@ def fused_neighborhood_stats(
         interp = backend == "pallas_interpret"
         from .pallas_window import window_stats_pallas
 
-        mean = normals = count = None
-        for p_i in range(passes):
-            sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, p_i)
+        def one_pass(px, py, pz, pv):
             mean_s, _cnt_s, mom_s = window_stats_pallas(
-                sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
+                px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
                 interpret=interp, kmode=kmode,
             )
             e = _entries_from_moments(mom_s)
-            normals_s = _normals_from_entries(
+            ns = _normals_from_entries(
                 e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0]
             )
-            m_o, c_o, nx_o, ny_o, nz_o = _unsort(
-                sidx, (mean_s, mom_s[0], normals_s[0], normals_s[1], normals_s[2])
+            return mean_s, mom_s[0], ns[0], ns[1], ns[2]
+
+        # Sort-chaining: pass p's outputs ride pass p+1's variadic sort as
+        # payload instead of being unsorted back after every pass — one
+        # final unsort total. passes=2 costs 3 sorts instead of 4 (~0.3 ms
+        # saved per scan at 131k, PERF_NOTES.md sort cost).
+        sx, sy, sz, sv, orig = _sorted_rows(positions, mask, 0)
+        mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv)
+        for p_i in range(1, passes):
+            sx, sy, sz, sv, _pidx, orig, mean, count, nx, ny, nz = (
+                _sorted_rows(
+                    jnp.stack([sx, sy, sz]), sv, p_i,
+                    extra=(orig, mean, count, nx, ny, nz),
+                )
             )
-            n_o = jnp.stack([nx_o, ny_o, nz_o])
-            if mean is None:
-                mean, normals, count = m_o, n_o, c_o
-            else:
-                mean = jnp.minimum(mean, m_o)
-                better = c_o > count
-                normals = jnp.where(better[None, :], n_o, normals)
-                count = jnp.where(better, c_o, count)
+            m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv)
+            mean = jnp.minimum(mean, m2)
+            better = c2 > count
+            nx = jnp.where(better, nx2, nx)
+            ny = jnp.where(better, ny2, ny)
+            nz = jnp.where(better, nz2, nz)
+            count = jnp.where(better, c2, count)
+        mean, count, nx, ny, nz = _unsort(orig, (mean, count, nx, ny, nz))
+        normals = jnp.stack([nx, ny, nz])
         return jnp.where(mask, mean, 0.0), normals, jnp.where(mask, count, 0.0)
 
     # XLA fallback: compose the two window ops (no sharing, same results)

@@ -68,8 +68,17 @@ def test_kernel_vs_windowed_oracle(rng):
     # ~1e-3 absolute distance error on the self term
     np.testing.assert_allclose(mean[valid], o_mean[valid], atol=2e-3)
     np.testing.assert_allclose(mom[0][valid], o_mom[0][valid], atol=1e-3)
-    np.testing.assert_allclose(mom[1][valid], o_mom[1][valid], atol=5e-3)
-    np.testing.assert_allclose(mom[7][valid], o_mom[7][valid], atol=1e-2)
+    # raw moments are about an arbitrary per-block origin (kernel docstring)
+    # — only the origin-invariant CENTERED covariance entries are comparable
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        _entries_from_moments,
+    )
+
+    entries = np.asarray(_entries_from_moments(jnp.asarray(mom)))
+    o_entries = np.asarray(_entries_from_moments(jnp.asarray(o_mom)))
+    np.testing.assert_allclose(
+        entries[:, valid], o_entries[:, valid], atol=2e-2
+    )
 
 
 def test_pallas_backend_matches_xla_mean(rng):
