@@ -188,7 +188,7 @@ class Preprocessor:
     def _run_profiled(self, buf: ScanBuffer, key: jax.Array):
         plane = jnp.full((4,), jnp.nan, jnp.float32)
         _sync(buf)
-        for name, fn in stage_functions(self.settings):
+        for name, fn in stage_functions(self.settings, separate_stages=True):
             jfn = _stage_jit(self.settings, name)
             with self._timer.stage(STAGE_TIMING_KEYS[name]):
                 buf, aux = jfn(buf, self.params, key)
@@ -217,7 +217,7 @@ def _batched_pipeline(settings: PipelineSettings):
 
 @functools.lru_cache(maxsize=256)
 def _stage_jit(settings: PipelineSettings, name: str):
-    for n, fn in stage_functions(settings):
+    for n, fn in stage_functions(settings, separate_stages=True):
         if n == name:
             return jax.jit(fn)
     raise KeyError(name)

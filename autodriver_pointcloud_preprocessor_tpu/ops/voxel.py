@@ -32,6 +32,7 @@ def voxel_downsample(
     buf: ScanBuffer,
     voxel_size: jax.Array | float,
     backend: str = "auto",
+    dedup_exact: bool = False,
 ) -> ScanBuffer:
     """Average live points within each cubic voxel of edge ``voxel_size``.
 
@@ -40,6 +41,20 @@ def voxel_downsample(
     ``backend``: 'pallas' uses the segmented-sum kernel
     (ops/pallas_segmean.py, ~5x cheaper than scatter-based segment_sum);
     'xla' is the portable path; 'auto' picks by platform.
+
+    ``dedup_exact=True`` fuses exact duplicate-coordinate removal
+    (ops/dedup semantics) into the SAME variadic sort: bit-exact
+    coordinate keys ride as secondary sort keys, so exact duplicates land
+    adjacent within their voxel segment and all copies after the first
+    are excluded from the segment statistics — equivalent to
+    ``remove_duplicates`` followed by ``voxel_downsample`` (duplicates
+    share a voxel, so excluding the copies from the mean is exactly what
+    deduping first would have produced), for the cost of zero extra
+    sorts. Used by the pipeline when both stages are enabled
+    (models/pipeline.py). Representative-integer-attribute choice under
+    fusion: the segment's first row in (voxel, coordinate-bits) order —
+    deterministic; the reference's Open3D kernel averages integer attrs,
+    which is already documented as not replicated.
     """
     n = buf.capacity
     valid = buf.mask
@@ -66,21 +81,48 @@ def voxel_downsample(
         float_rows.extend(rows[c] for c in range(rows.shape[0]))
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(
-        (vx, vy, vz, x, y, z, valid, idx, *float_rows),
-        num_keys=3,
-        is_stable=True,
-    )
-    sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    px, py, pz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
-    svalid, sidx = sorted_ops[6], sorted_ops[7]
-    sorted_attr_rows = sorted_ops[8:]
+    if dedup_exact:
+        from .dedup import _coordinate_keys
+
+        kx, ky, kz = _coordinate_keys(buf.positions, valid)
+        sorted_ops = jax.lax.sort(
+            (vx, vy, vz, kx, ky, kz, x, y, z, valid, idx, *float_rows),
+            num_keys=6,
+            is_stable=True,
+        )
+        sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+        skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
+        px, py, pz = sorted_ops[6], sorted_ops[7], sorted_ops[8]
+        svalid, sidx = sorted_ops[9], sorted_ops[10]
+        sorted_attr_rows = sorted_ops[11:]
+    else:
+        sorted_ops = jax.lax.sort(
+            (vx, vy, vz, x, y, z, valid, idx, *float_rows),
+            num_keys=3,
+            is_stable=True,
+        )
+        sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+        px, py, pz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
+        svalid, sidx = sorted_ops[6], sorted_ops[7]
+        sorted_attr_rows = sorted_ops[8:]
 
     new_group = jnp.ones(n, dtype=bool)
     same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
     new_group = new_group.at[1:].set(jnp.logical_not(same))
     new_group = new_group & svalid
-    w = svalid.astype(jnp.float32)
+    included = svalid
+    if dedup_exact:
+        # duplicate copies: identical bit-exact coordinates as the previous
+        # row (necessarily the same voxel). Exclude them from every segment
+        # statistic — equivalent to deduping before voxelizing.
+        dup = jnp.zeros(n, dtype=bool)
+        dup = dup.at[1:].set(
+            (skx[1:] == skx[:-1])
+            & (sky[1:] == sky[:-1])
+            & (skz[1:] == skz[:-1])
+        )
+        included = svalid & jnp.logical_not(dup)
+    w = included.astype(jnp.float32)
 
     if backend == "auto":
         from .window import default_backend
@@ -109,9 +151,14 @@ def voxel_downsample(
     )
     new_mask = counts > 0
 
-    # first (lowest original index) row of each segment, for integer attrs
-    first_idx = jax.ops.segment_min(
-        jnp.where(svalid, sidx, jnp.int32(n - 1)), seg_id, num_segments=n
+    # the segment-START row's original index, for integer attrs (exactly
+    # one new_group flag per segment makes this a plain segment sum — the
+    # same trick the Pallas path uses, so both backends pick the same
+    # representative). With num_keys=3 the start row is also the lowest
+    # original index (stable sort); under dedup_exact it is the first row
+    # in coordinate-bits order (see docstring).
+    first_idx = jax.ops.segment_sum(
+        jnp.where(new_group, sidx, 0), seg_id, num_segments=n
     )
     first_idx = jnp.clip(first_idx, 0, n - 1)
 

@@ -214,9 +214,15 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
     collectives for the globally-exact stages). Exposed for composition —
     e.g. wrapping in vmap for a scan-batch mesh axis."""
 
+    fuse_dedup = (
+        settings.remove_duplicates
+        and settings.voxel_downsample
+        and settings.downsample_method == "voxel"
+    )
+
     def local_run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
         plane = jnp.full((4,), jnp.nan, jnp.float32)
-        if settings.remove_duplicates:
+        if settings.remove_duplicates and not fuse_dedup:
             buf = ops.remove_duplicates(buf)  # local; cross-shard dups survive
         if settings.remove_nans or settings.remove_infs:
             buf = ops.mask_non_finite(buf, settings.remove_nans, settings.remove_infs)
@@ -230,7 +236,10 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
             buf = ops.crop_box(buf, params.roi_min, params.roi_max, params.crop_invert)
         if settings.voxel_downsample:
             if settings.downsample_method == "voxel":
-                buf = ops.voxel_downsample(buf, params.voxel_size)  # local voxels
+                # local voxels; dedup fused into the same sort when enabled
+                buf = ops.voxel_downsample(
+                    buf, params.voxel_size, dedup_exact=fuse_dedup
+                )
             elif settings.downsample_method == "random":
                 shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
                 buf = ops.random_downsample(buf, params.sampling_ratio, shard_key)

@@ -122,3 +122,51 @@ def test_segment_plane_reproducible(rng):
     p2, m2 = segment_plane(buf, key, 0.1, 3, 32)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_voxel_dedup_exact_matches_dedup_then_voxel(rng):
+    # fused dedup (dedup_exact=True) must equal remove_duplicates followed
+    # by voxel_downsample — positions, counts, and averaged float attrs
+    # (duplicate copies carry DIFFERENT intensities, so an un-excluded
+    # copy would visibly skew the voxel mean)
+    from autodriver_pointcloud_preprocessor_tpu.ops import remove_duplicates
+
+    base = rng.uniform(-3, 3, (400, 3)).astype(np.float32)
+    dups = np.repeat(base[:80], 3, axis=0)  # 240 exact copies
+    pts = np.vstack([base, dups])
+    intensity = rng.uniform(0, 255, len(pts)).astype(np.float32)
+    buf, _ = from_soa(
+        {"positions": pts.astype(np.float32), "intensity": intensity}
+    )
+
+    ref = voxel_downsample(
+        remove_duplicates(buf), jnp.float32(0.5), backend="xla"
+    )
+    fused = voxel_downsample(
+        buf, jnp.float32(0.5), backend="xla", dedup_exact=True
+    )
+    assert int(valid_count(fused)) == int(valid_count(ref))
+    rp = np.asarray(ref.positions)[:, np.asarray(ref.mask)]
+    fp = np.asarray(fused.positions)[:, np.asarray(fused.mask)]
+    # identical voxel-key output order on both paths
+    np.testing.assert_allclose(fp, rp, atol=1e-6)
+    ri = np.asarray(ref.attributes["intensity"])[np.asarray(ref.mask)]
+    fi = np.asarray(fused.attributes["intensity"])[np.asarray(fused.mask)]
+    np.testing.assert_allclose(fi, ri, atol=1e-4)
+
+
+def test_voxel_dedup_exact_pallas_matches_xla(rng):
+    base = rng.uniform(-2, 2, (300, 3)).astype(np.float32)
+    pts = np.vstack([base, base[:50]])
+    n = 512
+    buf, _ = from_soa({"positions": pts}, capacity=n)
+    a = voxel_downsample(buf, jnp.float32(0.4), backend="xla",
+                         dedup_exact=True)
+    b = voxel_downsample(buf, jnp.float32(0.4), backend="pallas_interpret",
+                         dedup_exact=True)
+    assert int(valid_count(a)) == int(valid_count(b))
+    np.testing.assert_allclose(
+        np.asarray(a.positions)[:, np.asarray(a.mask)],
+        np.asarray(b.positions)[:, np.asarray(b.mask)],
+        atol=1e-5,
+    )

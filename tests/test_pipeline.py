@@ -47,21 +47,36 @@ def test_stage_order_matches_reference():
         remove_statistical_outliers=True, remove_ground=True,
         apply_tf=True, fuse_neighborhood=False,
     )
-    names = [n for n, _ in stage_functions(s)]
+    # separate_stages (profile mode): reference stage order, one stage per
+    # reference timing key
+    names = [n for n, _ in stage_functions(s, separate_stages=True)]
     assert names == [
         "remove_duplicates", "non_finite", "transform", "crop", "voxel",
+        "outliers", "normals", "ground",
+    ]
+    # production program: dedup fuses into the voxel sort (equivalent
+    # result, one fewer sort)
+    names = [n for n, _ in stage_functions(s)]
+    assert names == [
+        "non_finite", "transform", "crop", "voxel",
         "outliers", "normals", "ground",
     ]
 
 
 def test_stage_order_fused_neighborhood():
-    # default: outliers+normals fuse into one shared neighborhood sweep
+    # default: outliers+normals fuse into one shared neighborhood sweep,
+    # dedup fuses into the voxel sort
     s = PipelineSettings(remove_statistical_outliers=True, remove_ground=True)
     names = [n for n, _ in stage_functions(s)]
     assert names == [
-        "remove_duplicates", "non_finite", "crop", "voxel",
-        "neighborhood", "ground",
+        "non_finite", "crop", "voxel", "neighborhood", "ground",
     ]
+    # dedup stays standalone when voxel downsampling is off
+    import dataclasses
+
+    s2 = dataclasses.replace(s, voxel_downsample=False)
+    names2 = [n for n, _ in stage_functions(s2)]
+    assert names2[0] == "remove_duplicates"
 
 
 def test_fused_neighborhood_matches_sequential(rng):
@@ -265,3 +280,32 @@ def test_post_downsample_shrink_noop_when_larger(rng):
     out, _ = build_pipeline(s)(buf, params=PipelineParams.make(voxel_size=0.2),
                                key=jax.random.PRNGKey(0))
     assert out.capacity == 512
+
+
+def test_pipeline_fused_dedup_voxel_equivalence(rng):
+    # dedup fuses into the voxel sort (models/pipeline.py fuse_dedup): the
+    # pipeline on an input WITH exact duplicates must match the pipeline
+    # (dedup disabled) on the pre-deduplicated input.
+    import dataclasses
+
+    base = _scene(rng)
+    pts = np.vstack([base, base[:400]]).astype(np.float32)  # 400 copies
+    buf_dup, _ = from_soa({"positions": pts}, capacity=4096)
+    buf_clean, _ = from_soa({"positions": base}, capacity=4096)
+    s = PipelineSettings(
+        remove_duplicates=True, remove_statistical_outliers=True,
+        nb_neighbors=10, remove_ground=True, num_iterations=32, ransac_n=3,
+        estimate_normals=False,
+    )
+    s_nodedup = dataclasses.replace(s, remove_duplicates=False)
+    params = PipelineParams.make(voxel_size=0.2, distance_threshold=0.08)
+    key = jax.random.PRNGKey(0)
+    out_a, plane_a = build_pipeline(s)(buf_dup, params, key)
+    out_b, plane_b = build_pipeline(s_nodedup)(buf_clean, params, key)
+    assert int(valid_count(out_a)) == int(valid_count(out_b))
+    pa = np.asarray(out_a.positions)[:, np.asarray(out_a.mask)]
+    pb = np.asarray(out_b.positions)[:, np.asarray(out_b.mask)]
+    np.testing.assert_allclose(np.sort(pa, axis=1), np.sort(pb, axis=1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(plane_a), np.asarray(plane_b),
+                               atol=1e-5)
