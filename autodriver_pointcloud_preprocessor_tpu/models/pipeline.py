@@ -302,30 +302,35 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
 
     if fuse:
         def neighborhood(b, p, k):
-            import jax.numpy as jnp
+            from ..ops.window import fused_neighborhood_stats_reordered
 
-            from ..ops.window import fused_neighborhood_stats
-
-            mean_d, normals, count = fused_neighborhood_stats(
-                b.positions,
-                b.mask,
-                k=settings.nb_neighbors,
-                radius=p.search_radius,
-                window_blocks=settings.window_blocks,
-                passes=settings.neighborhood_passes,
-                backend="auto" if settings.pallas_ok else "xla",
-                kmode=settings.knn_kmode,
+            # the reordered variant carries the whole buffer through the
+            # curve sorts and skips the unsort back to input order — legal
+            # here because the pipeline has no point-order contract after
+            # the voxel stage (which already reordered), and egress
+            # compacts by mask (ops/window.py docstring)
+            pos, valid, attrs, mean_d, normals, _count = (
+                fused_neighborhood_stats_reordered(
+                    b.positions,
+                    b.mask,
+                    dict(b.attributes),
+                    k=settings.nb_neighbors,
+                    radius=p.search_radius,
+                    window_blocks=settings.window_blocks,
+                    passes=settings.neighborhood_passes,
+                    backend="auto" if settings.pallas_ok else "xla",
+                    kmode=settings.knn_kmode,
+                )
             )
             # global outlier threshold (reference :514-519 semantics)
-            valid = b.mask
             n_live = jnp.maximum(jnp.sum(valid), 1)
             mu = jnp.sum(jnp.where(valid, mean_d, 0.0)) / n_live
             var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / n_live
-            keep = mean_d <= mu + p.std_ratio * jnp.sqrt(var)
-            b = b.with_mask(keep)
-            attrs = dict(b.attributes)
+            keep = valid & (mean_d <= mu + p.std_ratio * jnp.sqrt(var))
             attrs["normals"] = normals
-            return b.replace(attributes=attrs), None
+            return ScanBuffer(
+                positions=pos, mask=keep, attributes=attrs
+            ), None
 
         stages.append(("neighborhood", neighborhood))
 

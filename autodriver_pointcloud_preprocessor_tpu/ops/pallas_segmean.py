@@ -38,6 +38,30 @@ _BLK = 512
 _C = 8
 
 
+def _dot3_exact(a, b01, dims):
+    """f32-exact ``dot_general(a, b01)`` in 3 single-pass bf16 matmuls.
+
+    Valid ONLY when ``b01`` is a 0/1 matrix (exact in bf16): split ``a``
+    into three bf16 terms covering the full 24-bit mantissa
+    (a = hi + mid + lo exactly) and sum the three exact partial products
+    in f32. Halves the MXU passes vs ``Precision.HIGHEST`` (6 passes);
+    Mosaic does not support ``Precision.HIGH``.
+    """
+    bh = b01.astype(jnp.bfloat16)
+    hi = a.astype(jnp.bfloat16)
+    r = a - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        d = jax.lax.dot_general(
+            part, bh, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
             carry_vmem, gid_ref, rmw_vmem, sems):
     i = pl.program_id(0)
@@ -78,14 +102,13 @@ def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
         cs.reshape(_BLK, 1).astype(jnp.int32) == slot_i
     ).astype(jnp.float32)
 
-    # partials[c, s] = sum_j values[c, j] * one_hot[j, s].
-    # Precision.HIGHEST: values include coordinates and integer-index
-    # channels — the MXU's default bf16 multiply would round them.
-    partials = jax.lax.dot_general(
+    # partials[c, s] = sum_j values[c, j] * one_hot[j, s]. Values include
+    # coordinates and integer-index channels that bf16 would round, but
+    # one_hot is 0/1: 3-term bf16 split of the values is f32-exact at half
+    # the HIGHEST pass count.
+    partials = _dot3_exact(
         vals_vmem[:, :], one_hot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        dims=(((1,), (0,)), ((), ())),
     )  # (C, BLK+128)
 
     s_new = cs[0, _BLK - 1].astype(jnp.int32)  # runs started in this block
@@ -117,11 +140,9 @@ def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
     src_j = jax.lax.broadcasted_iota(jnp.int32, (_BLK + 128, _BLK + 256), 0)
     dst_t = jax.lax.broadcasted_iota(jnp.int32, (_BLK + 128, _BLK + 256), 1)
     shift = (dst_t - src_j == off).astype(jnp.float32)
-    shifted = jax.lax.dot_general(
+    shifted = _dot3_exact(
         partials, shift,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        dims=(((1,), (0,)), ((), ())),
     )  # (C, BLK+256)
 
     rd = pltpu.make_async_copy(

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_segmean import _dot3_exact
+
 __all__ = ["window_stats_pallas"]
 
 _BIG = 1e30
@@ -145,7 +147,9 @@ def _kernel(
         d2 = jnp.maximum(d2, 0.0)
 
         # ---- covariance raw moments over in-radius candidates ----
-        # about the block origin c0 — origin-invariant consumers only
+        # about the block origin c0 — origin-invariant consumers only.
+        # w is 0/1, so the 3-term bf16 split is f32-exact at half the
+        # HIGHEST pass count (ops/pallas_segmean._dot3_exact).
         w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
         gmat = jnp.concatenate(
             [
@@ -155,12 +159,8 @@ def _kernel(
             ],
             axis=0,
         )
-        moments = jax.lax.dot_general(
-            gmat,
-            w,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        moments = _dot3_exact(
+            gmat, w, dims=(((1,), (0,)), ((), ()))
         )
 
         if kmode == "sweep":
@@ -269,7 +269,11 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
     qb = _G * _B if n % (_G * _B) == 0 else _B
     assert n % qb == 0, f"sorted length {n} not a multiple of {qb}"
     nb = n // qb
-    halo = window_blocks * 128  # candidate halo on each side (128-pt blocks)
+    # candidate halo per side: window_blocks 128-point blocks, or a
+    # half-block (64) when window_blocks == 0 — the fast profile: 256-wide
+    # candidate windows at ~2/3 the kernel cost of 384. DMA offsets stay
+    # 512-aligned either way (the halo only pads the array edges).
+    halo = window_blocks * 128 if window_blocks > 0 else 64
     window = qb + 2 * halo
     pad = halo
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 __all__ = [
     "default_backend",
     "fused_neighborhood_stats",
+    "fused_neighborhood_stats_reordered",
     "hilbert_codes",
     "morton_codes",
     "window_mean_knn_dist",
@@ -135,7 +136,13 @@ def hilbert_codes(
 
 
 def _window(blocks: jax.Array, num_rolls: int) -> jax.Array:
-    """(NB, B) -> (NB, (2R+1)*B) candidate window via block rolls."""
+    """(NB, B) -> (NB, (2R+1)*B) candidate window via block rolls.
+
+    num_rolls == 0 (the pallas kernel's half-block fast profile) is
+    approximated here by one full block per side — the XLA path has no
+    sub-block roll, so it errs toward the LARGER window.
+    """
+    num_rolls = max(num_rolls, 1)
     parts = [
         jnp.roll(blocks, -r, axis=0) for r in range(-num_rolls, num_rolls + 1)
     ]
@@ -330,6 +337,102 @@ def fused_neighborhood_stats(
         entries[5], count,
     )
     return mean, normals, count
+
+
+def fused_neighborhood_stats_reordered(
+    positions: jax.Array,
+    mask: jax.Array,
+    attrs: dict,
+    k: int,
+    radius: jax.Array | float,
+    window_blocks: int = 2,
+    passes: int = 2,
+    backend: str = "auto",
+    kmode: str = "sweep",
+):
+    """`fused_neighborhood_stats` that REORDERS the buffer instead of
+    unsorting the stats.
+
+    Post-voxel the pipeline has no point-order contract (the voxel stage
+    already reordered to voxel-key order; egress compacts by mask), so
+    the final unsort back to input order (~0.3 ms at 131k) is pure waste:
+    carry positions/mask/attributes THROUGH the curve sorts and leave
+    everything in the final pass's curve order, stats aligned.
+
+    Returns ``(positions, mask, attrs, mean_knn, normals, count)`` — all
+    in the SAME (reordered) order on the pallas path; the XLA fallback
+    returns the inputs unchanged with stats in input order (alignment is
+    the only contract).
+    """
+    from .normals import _normals_from_entries
+
+    if backend == "auto":
+        backend = default_backend()
+    n = positions.shape[-1]
+
+    if backend not in ("pallas", "pallas_interpret") or n % 128 != 0:
+        mean, normals, count = fused_neighborhood_stats(
+            positions, mask, k=k, radius=radius,
+            window_blocks=window_blocks, passes=passes, backend=backend,
+            kmode=kmode,
+        )
+        return positions, mask, attrs, mean, normals, count
+
+    interp = backend == "pallas_interpret"
+    from .pallas_window import window_stats_pallas
+
+    def one_pass(px, py, pz, pv):
+        mean_s, _cnt_s, mom_s = window_stats_pallas(
+            px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
+            interpret=interp, kmode=kmode,
+        )
+        e = _entries_from_moments(mom_s)
+        ns = _normals_from_entries(e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0])
+        return mean_s, mom_s[0], ns[0], ns[1], ns[2]
+
+    # flatten attributes to [N] rows so they ride the variadic sorts
+    flat = []
+    specs = []
+    for name, v in attrs.items():
+        rows = v.reshape(-1, n)
+        specs.append((name, v.shape, rows.shape[0]))
+        flat.extend(rows[i] for i in range(rows.shape[0]))
+
+    sx, sy, sz, sv, _idx, *flat = _sorted_rows(
+        positions, mask, 0, extra=tuple(flat)
+    )
+    mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv)
+    for p_i in range(1, passes):
+        sx, sy, sz, sv, _idx, *rest = _sorted_rows(
+            jnp.stack([sx, sy, sz]), sv, p_i,
+            extra=(*flat, mean, count, nx, ny, nz),
+        )
+        flat, (mean, count, nx, ny, nz) = rest[:-5], rest[-5:]
+        m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv)
+        mean = jnp.minimum(mean, m2)
+        better = c2 > count
+        nx = jnp.where(better, nx2, nx)
+        ny = jnp.where(better, ny2, ny)
+        nz = jnp.where(better, nz2, nz)
+        count = jnp.where(better, c2, count)
+
+    out_attrs = {}
+    i = 0
+    for name, shape, nrows in specs:
+        rows = flat[i : i + nrows]
+        i += nrows
+        out_attrs[name] = (
+            jnp.stack(rows).reshape(shape) if nrows > 1 else rows[0]
+        )
+    normals = jnp.stack([nx, ny, nz])
+    return (
+        jnp.stack([sx, sy, sz]),
+        sv,
+        out_attrs,
+        jnp.where(sv, mean, 0.0),
+        normals,
+        jnp.where(sv, count, 0.0),
+    )
 
 
 @functools.partial(

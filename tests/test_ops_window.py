@@ -99,3 +99,53 @@ def test_window_respects_mask(rng):
     md = np.asarray(md)
     assert (md[250:] == 0).all()
     assert (md[:250] > 0).all()
+
+
+def test_fused_reordered_matches_unsorted_stats(rng):
+    # the reordered variant must produce the same (point -> stats) pairs
+    # as fused_neighborhood_stats, just in curve order instead of input
+    # order; attributes must ride along consistently
+    import jax.numpy as jnp
+
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats,
+        fused_neighborhood_stats_reordered,
+    )
+
+    n = 512
+    pts = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[::37] = False
+    pos = jnp.stack([jnp.asarray(pts[:, i]) for i in range(3)])
+    m = jnp.asarray(valid)
+    ring = jnp.asarray(rng.integers(0, 16, n).astype(np.uint16))
+
+    mean_u, normals_u, cnt_u = fused_neighborhood_stats(
+        pos, m, k=8, radius=0.6, window_blocks=1, passes=2,
+        backend="pallas_interpret",
+    )
+    pos_r, m_r, attrs_r, mean_r, normals_r, cnt_r = (
+        fused_neighborhood_stats_reordered(
+            pos, m, {"ring": ring}, k=8, radius=0.6, window_blocks=1,
+            passes=2, backend="pallas_interpret",
+        )
+    )
+    # same live-point multiset
+    assert int(np.asarray(m_r).sum()) == int(valid.sum())
+    pu = np.asarray(pos).T[valid]
+    pr = np.asarray(pos_r).T[np.asarray(m_r)]
+    # match reordered rows back to input rows by position
+    order_u = np.lexsort(pu.T)
+    order_r = np.lexsort(pr.T)
+    np.testing.assert_allclose(pu[order_u], pr[order_r], atol=0)
+    # stats travel with their points
+    mu = np.asarray(mean_u)[valid][order_u]
+    mr = np.asarray(mean_r)[np.asarray(m_r)][order_r]
+    np.testing.assert_allclose(mu, mr, atol=1e-6)
+    nu = np.asarray(normals_u).T[valid][order_u]
+    nr = np.asarray(normals_r).T[np.asarray(m_r)][order_r]
+    np.testing.assert_allclose(np.abs((nu * nr).sum(1)), 1.0, atol=1e-5)
+    # attributes travel with their points
+    ru = np.asarray(ring)[valid][order_u]
+    rr = np.asarray(attrs_r["ring"])[np.asarray(m_r)][order_r]
+    np.testing.assert_array_equal(ru, rr)
