@@ -124,6 +124,20 @@ def voxel_downsample(
         included = svalid & jnp.logical_not(dup)
     w = included.astype(jnp.float32)
 
+    # NaN discipline (PERF_NOTES.md): masked-out points KEEP their NaN
+    # coordinates, and every excluded row contributes to the segment sums
+    # only via a `* w` product — where NaN * 0 = NaN would poison the
+    # segment it sorted next to (observed: live voxels with NaN means on
+    # scans with non-finite returns). Zero excluded float rows up front;
+    # exact for included rows, and NaN-in-VALID points still propagate
+    # (same garbage-in behavior as the reference's Open3D kernel).
+    px = jnp.where(included, px, 0.0)
+    py = jnp.where(included, py, 0.0)
+    pz = jnp.where(included, pz, 0.0)
+    sorted_attr_rows = [
+        jnp.where(included, r, 0.0) for r in sorted_attr_rows
+    ]
+
     if backend == "auto":
         from .window import default_backend
 

@@ -170,3 +170,28 @@ def test_voxel_dedup_exact_pallas_matches_xla(rng):
         np.asarray(b.positions)[:, np.asarray(b.mask)],
         atol=1e-5,
     )
+
+
+def test_voxel_nan_points_do_not_poison_segments(rng):
+    # regression: masked-out points keep NaN coordinates (mask-only
+    # pipeline) and sort adjacent to live segments; NaN * 0 = NaN in the
+    # w-weighted segment sums produced live voxels with NaN means on both
+    # backends. Every live output value must be finite.
+    pts = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    pts[::50] = np.nan
+    intensity = rng.uniform(0, 1, 1000).astype(np.float32)
+    buf, _ = from_soa(
+        {"positions": pts, "intensity": intensity}, capacity=1024
+    )
+    from autodriver_pointcloud_preprocessor_tpu.ops import mask_non_finite
+
+    buf = mask_non_finite(buf, True, True)
+    for be in ("xla", "pallas_interpret"):
+        for de in (False, True):
+            out = voxel_downsample(buf, jnp.float32(0.3), backend=be,
+                                   dedup_exact=de)
+            m = np.asarray(out.mask)
+            p = np.asarray(out.positions)[:, m]
+            i = np.asarray(out.attributes["intensity"])[m]
+            assert np.isfinite(p).all(), (be, de)
+            assert np.isfinite(i).all(), (be, de)
