@@ -75,17 +75,19 @@ def _kernel(
     window: int,
     qb: int,
     kmode: str,
+    dma_off: int,
+    qoff: int,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
     nbatch = pl.num_programs(0)
     sub_window = window - (qb - _B)  # candidate span per 128-query sub-block
-    halo = (sub_window - _B) // 2
+    halo = qoff  # query block's offset within its candidate span
 
     def window_dma(bb, step, slot):
         return pltpu.make_async_copy(
-            feat_hbm.at[bb, :, pl.ds(step * qb, window)],
+            feat_hbm.at[bb, :, pl.ds(step * qb + dma_off, window)],
             feat_vmem.at[slot],
             sems.at[slot],
         )
@@ -259,7 +261,7 @@ def _kernel(
 
 
 def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
-                  kmode):
+                  kmode, direction=0):
     """Batched kernel invocation: (B, N) rows -> (B, N), (B, N), (B, 10, N).
 
     One pallas_call with a (batch, num_blocks) grid; the double-buffered
@@ -269,13 +271,27 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
     qb = _G * _B if n % (_G * _B) == 0 else _B
     assert n % qb == 0, f"sorted length {n} not a multiple of {qb}"
     nb = n // qb
-    # candidate halo per side: window_blocks 128-point blocks, or a
-    # half-block (64) when window_blocks == 0 — the fast profile: 256-wide
-    # candidate windows at ~2/3 the kernel cost of 384. DMA offsets stay
-    # 512-aligned either way (the halo only pads the array edges).
-    halo = window_blocks * 128 if window_blocks > 0 else 64
-    window = qb + 2 * halo
-    pad = halo
+    if window_blocks > 0:
+        # symmetric halo of window_blocks 128-point blocks per side
+        halo = window_blocks * 128
+        window = qb + 2 * halo
+        pad = halo
+        dma_off = 0  # array pre-padded by halo; window starts at step*qb
+        qoff = halo
+    else:
+        # window_blocks == 0, the FAST profile: a ONE-SIDED 128-point halo
+        # — each 128-query block sees its own block plus the next
+        # (direction=0) or previous (direction=1) block: 256 candidates at
+        # ~2/3 the kernel cost of the symmetric 384. A symmetric 64-point
+        # halo is not expressible: Mosaic requires 128-aligned slice
+        # offsets (a 64-offset query slice fails to lower), so passes
+        # ALTERNATE direction instead (ops/window.py) — the union over two
+        # opposite-sided passes covers what one symmetric window would.
+        halo = 128
+        window = qb + 128
+        pad = 128
+        dma_off = 128 if direction == 0 else 0
+        qoff = 0 if direction == 0 else 128
 
     # Non-finite coordinates would poison the distance matmul (the kernel
     # folds invalid-candidate exclusion into the contraction, and NaN*0 is
@@ -307,7 +323,10 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
     ).reshape(batch, 1)
 
     packed = pl.pallas_call(
-        functools.partial(_kernel, k=k, window=window, qb=qb, kmode=kmode),
+        functools.partial(
+            _kernel, k=k, window=window, qb=qb, kmode=kmode,
+            dma_off=dma_off, qoff=qoff,
+        ),
         grid=(batch, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -334,7 +353,7 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
 
 @functools.lru_cache(maxsize=32)
 def _make_window_stats(k: int, window_blocks: int, interpret: bool,
-                       kmode: str):
+                       kmode: str, direction: int):
     """custom_vmap wrapper per static config: vmapping routes to the batch
     grid dimension instead of Mosaic's (unsupported) pallas batching."""
 
@@ -343,7 +362,7 @@ def _make_window_stats(k: int, window_blocks: int, interpret: bool,
         mean, cnt, mom = _call_batched(
             sx[None], sy[None], sz[None], sv[None], radius,
             k=k, window_blocks=window_blocks, interpret=interpret,
-            kmode=kmode,
+            kmode=kmode, direction=direction,
         )
         return mean[0], cnt[0], mom[0]
 
@@ -359,7 +378,7 @@ def _make_window_stats(k: int, window_blocks: int, interpret: bool,
             bcast(sv, bv),
             bcast(jnp.asarray(radius, jnp.float32), br),
             k=k, window_blocks=window_blocks, interpret=interpret,
-            kmode=kmode,
+            kmode=kmode, direction=direction,
         )
         return out, (True, True, True)
 
@@ -376,6 +395,7 @@ def window_stats_pallas(
     window_blocks: int = 2,
     interpret: bool = False,
     kmode: str = "sweep",
+    direction: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Windowed stats over curve-sorted planar rows.
 
@@ -387,7 +407,13 @@ def window_stats_pallas(
         sorted_valid: bool[N].
         radius: in-radius threshold for the covariance moments (traced).
         k: neighbor count for the mean-distance statistic (static).
-        window_blocks: candidate radius in 128-point blocks (static).
+        window_blocks: candidate radius in 128-point blocks (static);
+            0 = fast profile: a one-sided 128-point halo (own block plus
+            the next or previous block per ``direction``) — 256-wide
+            windows at ~2/3 the kernel cost of window_blocks=1.
+        direction: for window_blocks == 0 only: 0 = forward halo (next
+            block), 1 = backward (previous block). Callers running
+            multiple curve passes should alternate (ops/window.py).
         interpret: run in Pallas interpreter mode (CPU tests).
         kmode: 'sweep' = exact k min-extractions (oracle-parity);
             'bisect' = ~2x-cheaper threshold bisection whose mean is within
@@ -403,7 +429,9 @@ def window_stats_pallas(
          may use them. Entries for invalid queries are meaningless;
          callers mask.
     """
-    fn = _make_window_stats(k, window_blocks, interpret, kmode)
+    fn = _make_window_stats(
+        k, window_blocks, interpret, kmode, direction if window_blocks == 0 else 0
+    )
     return fn(
         sorted_x, sorted_y, sorted_z, sorted_valid,
         jnp.asarray(radius, jnp.float32),

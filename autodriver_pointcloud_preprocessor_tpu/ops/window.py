@@ -242,7 +242,7 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
     sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, pass_idx)
     mean_s, cnt_s, mom_s = window_stats_pallas(
         sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
-        interpret=interpret, kmode=kmode,
+        interpret=interpret, kmode=kmode, direction=pass_idx % 2,
     )
     entries_s = _entries_from_moments(mom_s)
     mean, count, *entry_rows = _unsort(
@@ -286,10 +286,10 @@ def fused_neighborhood_stats(
         interp = backend == "pallas_interpret"
         from .pallas_window import window_stats_pallas
 
-        def one_pass(px, py, pz, pv):
+        def one_pass(px, py, pz, pv, direction=0):
             mean_s, _cnt_s, mom_s = window_stats_pallas(
                 px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
-                interpret=interp, kmode=kmode,
+                interpret=interp, kmode=kmode, direction=direction,
             )
             e = _entries_from_moments(mom_s)
             ns = _normals_from_entries(
@@ -302,7 +302,7 @@ def fused_neighborhood_stats(
         # final unsort total. passes=2 costs 3 sorts instead of 4 (~0.3 ms
         # saved per scan at 131k, PERF_NOTES.md sort cost).
         sx, sy, sz, sv, orig = _sorted_rows(positions, mask, 0)
-        mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv)
+        mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv, 0)
         for p_i in range(1, passes):
             sx, sy, sz, sv, _pidx, orig, mean, count, nx, ny, nz = (
                 _sorted_rows(
@@ -310,7 +310,7 @@ def fused_neighborhood_stats(
                     extra=(orig, mean, count, nx, ny, nz),
                 )
             )
-            m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv)
+            m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv, p_i % 2)
             mean = jnp.minimum(mean, m2)
             better = c2 > count
             nx = jnp.where(better, nx2, nx)
@@ -381,10 +381,10 @@ def fused_neighborhood_stats_reordered(
     interp = backend == "pallas_interpret"
     from .pallas_window import window_stats_pallas
 
-    def one_pass(px, py, pz, pv):
+    def one_pass(px, py, pz, pv, direction=0):
         mean_s, _cnt_s, mom_s = window_stats_pallas(
             px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
-            interpret=interp, kmode=kmode,
+            interpret=interp, kmode=kmode, direction=direction,
         )
         e = _entries_from_moments(mom_s)
         ns = _normals_from_entries(e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0])
@@ -401,14 +401,14 @@ def fused_neighborhood_stats_reordered(
     sx, sy, sz, sv, _idx, *flat = _sorted_rows(
         positions, mask, 0, extra=tuple(flat)
     )
-    mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv)
+    mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv, 0)
     for p_i in range(1, passes):
         sx, sy, sz, sv, _idx, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
             extra=(*flat, mean, count, nx, ny, nz),
         )
         flat, (mean, count, nx, ny, nz) = rest[:-5], rest[-5:]
-        m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv)
+        m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv, p_i % 2)
         mean = jnp.minimum(mean, m2)
         better = c2 > count
         nx = jnp.where(better, nx2, nx)

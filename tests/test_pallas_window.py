@@ -163,3 +163,31 @@ def test_kernel_nan_positions_do_not_poison_windows(rng):
     m = np.asarray(mean)[valid]
     assert np.isfinite(m).all()
     assert (m > 0).all()  # every live query found real neighbors
+
+
+def test_half_window_fast_profile_directions(rng):
+    # window_blocks=0: one-sided 128-point halo. Forward sees own+next
+    # block, backward own+previous; the min-merge of the two directions
+    # must be >= as tight as ANY one-sided window and <= the symmetric
+    # wb=1 result can only be tighter or equal (384 candidates superset).
+    pts, valid = _sorted_cloud(rng, n=1024, invalid_tail=8)
+    args = [jnp.asarray(pts[:, i]) for i in range(3)] + [jnp.asarray(valid)]
+    k = 8
+    m_fwd, _, _ = window_stats_pallas(
+        *args, 0.5, k=k, window_blocks=0, interpret=True, direction=0)
+    m_bwd, _, _ = window_stats_pallas(
+        *args, 0.5, k=k, window_blocks=0, interpret=True, direction=1)
+    m_sym, _, _ = window_stats_pallas(
+        *args, 0.5, k=k, window_blocks=1, interpret=True)
+    m_fwd, m_bwd, m_sym = map(np.asarray, (m_fwd, m_bwd, m_sym))
+    merged = np.minimum(m_fwd, m_bwd)
+    # window estimates only overestimate: each direction's window is a
+    # subset of the symmetric wb=1 window (own+next+prev), so both
+    # directions must be >= the symmetric estimate...
+    assert (merged[valid] >= m_sym[valid] - 1e-5).all()
+    # ...and the merged estimate must be close: for interior points the
+    # union of (own+next) and (own+prev) IS the symmetric window
+    rel = (merged[valid] - m_sym[valid]) / np.maximum(m_sym[valid], 1e-9)
+    assert np.median(rel) < 0.05, np.median(rel)
+    # directions genuinely differ (different candidate sets)
+    assert (m_fwd != m_bwd).any()
