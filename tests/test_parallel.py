@@ -277,3 +277,28 @@ def test_sharded_post_downsample_shrink(rng):
     expected = int(np.minimum(base_counts, 512).sum())
     assert int(valid_count(out_s)) == expected
     assert expected > 0
+
+
+def test_sharded_radius_outliers(rng):
+    # the sharded pipeline's remove_radius_outliers branch (local window
+    # counts per shard) — specks with no in-radius neighbors must go
+    pts = _scene(rng, 2000, 400)
+    specks = rng.uniform(-40, 40, (40, 3)).astype(np.float32)
+    specks[:, 2] += 30.0  # far above everything
+    buf, _ = from_soa(
+        {"positions": np.vstack([pts, specks])}, capacity=4096
+    )
+    settings = PipelineSettings(
+        estimate_normals=False, voxel_downsample=False,
+        remove_radius_outliers=True, knn_method="exact",
+    )
+    params = PipelineParams.make(
+        radius_nb_points=4, radius_search_radius=0.8
+    )
+    mesh = make_mesh()
+    out, _ = build_sharded_pipeline(settings, mesh)(
+        shard_buffer(buf, mesh), params, jax.random.PRNGKey(0)
+    )
+    kept = np.asarray(out.positions)[:, np.asarray(out.mask)]
+    assert kept.shape[1] > 1000  # the dense scene survives
+    assert (kept[2] < 25.0).all()  # every isolated speck removed
