@@ -64,17 +64,20 @@ def _dot3_exact(a, b01, dims):
 
 def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
             carry_vmem, gid_ref, rmw_vmem, sems):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
 
     in_dma = pltpu.make_async_copy(
-        values_hbm.at[:, pl.ds(i * _BLK, _BLK)], vals_vmem, sems.at[0]
+        values_hbm.at[b, :, pl.ds(i * _BLK, _BLK)], vals_vmem, sems.at[0]
     )
     fl_dma = pltpu.make_async_copy(
-        flags_hbm.at[:, pl.ds(i * _BLK, _BLK)], flags_vmem, sems.at[1]
+        flags_hbm.at[b, :, pl.ds(i * _BLK, _BLK)], flags_vmem, sems.at[1]
     )
     in_dma.start()
     fl_dma.start()
 
+    # the grid iterates the block axis fastest: i == 0 is the start of each
+    # batch element, so the open-run state resets per scan
     @pl.when(i == 0)
     def _():
         carry_vmem[:, :] = jnp.zeros((_C, 1), jnp.float32)
@@ -146,22 +149,23 @@ def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
     )  # (C, BLK+256)
 
     rd = pltpu.make_async_copy(
-        sums_hbm.at[:, pl.ds(aligned, _BLK + 256)], rmw_vmem, sems.at[2]
+        sums_hbm.at[b, :, pl.ds(aligned, _BLK + 256)], rmw_vmem, sems.at[2]
     )
     rd.start()
     rd.wait()
     col_g = aligned + jax.lax.broadcasted_iota(jnp.int32, (_C, _BLK + 256), 1)
     rmw_vmem[:, :] = jnp.where(col_g < gid, rmw_vmem[:, :], shifted)
     wr = pltpu.make_async_copy(
-        rmw_vmem, sums_hbm.at[:, pl.ds(aligned, _BLK + 256)], sems.at[2]
+        rmw_vmem, sums_hbm.at[b, :, pl.ds(aligned, _BLK + 256)], sems.at[2]
     )
     wr.start()
     wr.wait()
 
     gid_ref[0] = gid + s_new
 
-    # final open-run state (last step's write wins): row 0 = gid, 1.. = carry
-    state_ref[:, :] = jnp.concatenate(
+    # final open-run state (the batch element's last step wins): row 0 =
+    # gid, 1.. = carry
+    state_ref[0, :, :] = jnp.concatenate(
         [
             jnp.full((1, 128), (gid + s_new).astype(jnp.float32)),
             jnp.broadcast_to(carry_vmem[:, :], (_C, 128)),
@@ -169,45 +173,36 @@ def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def segmented_sums_pallas(
-    values: jax.Array,
-    run_start: jax.Array,
-    interpret: bool = False,
-) -> jax.Array:
-    """Per-run sums of ``values`` over contiguous runs.
-
-    Args:
-        values: float32[C<=8, N] channel rows (N % 512 == 0); rows beyond
-            the caller's channels should be zero.
-        run_start: bool/float[N]; True where a new run begins (element 0's
-            flag is ignored — it always starts run 0).
-    Returns:
-        float32[8, N] run sums: row block [.., s] holds the sum of run s;
-        entries beyond the last run are zero.
-    """
-    c, n = values.shape
+def _call_batched(values, run_start, interpret):
+    """(batch, C, N), (batch, N) -> (batch, 8, N) per-run sums."""
+    batch, c, n = values.shape
     assert c <= _C and n % _BLK == 0, (c, n)
-    vals = jnp.zeros((_C, n), jnp.float32).at[:c].set(values.astype(jnp.float32))
-    flags = run_start.astype(jnp.float32).reshape(1, n)
+    vals = (
+        jnp.zeros((batch, _C, n), jnp.float32)
+        .at[:, :c].set(values.astype(jnp.float32))
+    )
+    flags = run_start.astype(jnp.float32).reshape(batch, 1, n)
     # element 0 always opens run 0; its flag must be 0 so cs starts at 0
-    flags = flags.at[0, 0].set(0.0)
+    flags = flags.at[:, 0, 0].set(0.0)
 
     nb = n // _BLK
     sums, state = pl.pallas_call(
         _kernel,
-        grid=(nb,),
+        grid=(batch, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _C + 1, 128), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((_C, n + _BLK + 256), jnp.float32),
-            jax.ShapeDtypeStruct((_C + 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch, _C, n + _BLK + 256), jnp.float32),
+            jax.ShapeDtypeStruct((batch, _C + 1, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_C, _BLK), jnp.float32),
@@ -221,16 +216,62 @@ def segmented_sums_pallas(
         interpret=interpret,
     )(vals, flags)
 
-    # fold the final open run in at its slot
-    final_gid = state[0, 0].astype(jnp.int32)
-    final_carry = state[1:, 0]
-    sums = jax.lax.dynamic_update_slice(
-        sums,
-        (jax.lax.dynamic_slice(sums, (0, final_gid), (_C, 1))
-         + final_carry[:, None]),
-        (0, final_gid),
-    )
-    sums = sums[:, :n]
+    # fold each batch element's final open run in at its slot (one-hot add
+    # keeps this vmap-free and shape-static)
+    final_gid = state[:, 0, 0].astype(jnp.int32)  # (batch,)
+    final_carry = state[:, 1:, 0]  # (batch, C)
+    cols = jnp.arange(n + _BLK + 256, dtype=jnp.int32)
+    onehot = (cols[None, :] == final_gid[:, None]).astype(jnp.float32)
+    sums = sums + onehot[:, None, :] * final_carry[:, :, None]
+    sums = sums[:, :, :n]
     # slots beyond the final run are uninitialized HBM — zero them
-    live = jnp.arange(n, dtype=jnp.int32)[None, :] <= final_gid
+    live = jnp.arange(n, dtype=jnp.int32)[None, None, :] <= final_gid[:, None, None]
     return jnp.where(live, sums, 0.0)
+
+
+@functools.lru_cache(maxsize=4)
+def _make_segmented_sums(interpret: bool):
+    """custom_vmap wrapper: vmapping maps onto a batch grid dimension (the
+    sequential run-state carry resets at each batch element's first block),
+    instead of Mosaic's unsupported pallas batching."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(values, run_start):
+        return _call_batched(values[None], run_start[None], interpret)[0]
+
+    @fn.def_vmap
+    def _vmap_rule(axis_size, in_batched, values, run_start):
+        bv, bf = in_batched
+
+        def bcast(x, is_b):
+            return x if is_b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        out = _call_batched(
+            bcast(values, bv), bcast(run_start, bf), interpret
+        )
+        return out, True
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmented_sums_pallas(
+    values: jax.Array,
+    run_start: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-run sums of ``values`` over contiguous runs.
+
+    vmap-safe: batching maps onto a leading kernel grid dimension (one
+    level; nested vmap is unsupported).
+
+    Args:
+        values: float32[C<=8, N] channel rows (N % 512 == 0); rows beyond
+            the caller's channels should be zero.
+        run_start: bool/float[N]; True where a new run begins (element 0's
+            flag is ignored — it always starts run 0).
+    Returns:
+        float32[8, N] run sums: row block [.., s] holds the sum of run s;
+        entries beyond the last run are zero.
+    """
+    return _make_segmented_sums(interpret)(values, run_start)

@@ -81,3 +81,31 @@ def test_voxel_pallas_backend_matches_xla(rng):
     rx = np.sort(np.asarray(ox.attributes["ring"])[np.asarray(ox.mask)])
     rp = np.sort(np.asarray(op.attributes["ring"])[np.asarray(op.mask)])
     np.testing.assert_array_equal(rx, rp)
+
+
+def test_segmented_sums_vmap_batches_on_grid(rng):
+    # regression: vmapping the segmean kernel crashed Mosaic ("ANY memory
+    # space blocks must cover the whole array") — config6 of the bench
+    # suite (batched 1M merged clouds) hit it on real TPU. custom_vmap now
+    # maps batches onto a leading grid dimension with per-scan state reset.
+    import jax
+
+    b, n = 3, 1024
+    vals, flags = [], []
+    for s in range(b):
+        r = np.random.default_rng(s)
+        v = r.normal(0, 1, (5, n)).astype(np.float32)
+        f = r.random(n) < 0.2
+        vals.append(v)
+        flags.append(f)
+    vals = jnp.asarray(np.stack(vals))
+    flags = jnp.asarray(np.stack(flags))
+
+    batched = jax.vmap(
+        lambda v, f: segmented_sums_pallas(v, f, interpret=True)
+    )(vals, flags)
+    for i in range(b):
+        single = segmented_sums_pallas(vals[i], flags[i], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single), rtol=1e-6, atol=1e-6
+        )
