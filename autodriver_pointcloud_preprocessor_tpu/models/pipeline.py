@@ -100,9 +100,14 @@ class PipelineSettings:
 
     def __post_init__(self):
         cap = self.post_downsample_capacity
-        if cap > 0 and cap % 512 != 0:
+        if cap < 0 or (cap > 0 and cap % 512 != 0):
             raise ValueError(
-                f"post_downsample_capacity must be a multiple of 512, got {cap}"
+                "post_downsample_capacity must be a non-negative multiple "
+                f"of 512, got {cap}"
+            )
+        if self.knn_kmode not in ("sweep", "bisect"):
+            raise ValueError(
+                f"knn_kmode must be 'sweep' or 'bisect', got {self.knn_kmode!r}"
             )
 
 
@@ -172,7 +177,9 @@ STAGE_TIMING_KEYS = {
     "transform": "transform",
     "crop": "crop",
     "voxel": "voxel_downsampling",
-    "shrink": "voxel_downsampling",
+    # own key (not a reference stage): sharing voxel_downsampling would
+    # OVERWRITE the voxel stage's time in profile mode (record assigns)
+    "shrink": "post_downsample_shrink",
     "outliers": "remove_statistical_outliers",
     "radius_outliers": "remove_radius_outliers",
     "normals": "normal_estimation",

@@ -429,6 +429,8 @@ def window_stats_pallas(
          may use them. Entries for invalid queries are meaningless;
          callers mask.
     """
+    if kmode not in ("sweep", "bisect"):
+        raise ValueError(f"kmode must be 'sweep' or 'bisect', got {kmode!r}")
     fn = _make_window_stats(
         k, window_blocks, interpret, kmode, direction if window_blocks == 0 else 0
     )

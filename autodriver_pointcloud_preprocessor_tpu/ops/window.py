@@ -251,6 +251,51 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
     return mean, jnp.stack(entry_rows), count
 
 
+def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
+                  passes, interp, kmode):
+    """Shared sort-chained multi-pass core of the fused neighborhood ops.
+
+    Runs ``passes`` curve passes through the Pallas kernel, chaining each
+    pass's outputs (and the caller's ``carry`` rows) through the next
+    pass's variadic sort instead of unsorting after every pass — passes=2
+    costs 2 sorts instead of 4 (~0.3 ms/sort at 131k, PERF_NOTES.md).
+    Min-merges the kNN means, keeps the higher-count pass's normals.
+
+    Returns ``(sx, sy, sz, sv, carry_rows, mean, count, nx, ny, nz)`` all
+    in the FINAL pass's curve order.
+    """
+    from .normals import _normals_from_entries
+    from .pallas_window import window_stats_pallas
+
+    def one_pass(px, py, pz, pv, direction):
+        mean_s, _cnt_s, mom_s = window_stats_pallas(
+            px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
+            interpret=interp, kmode=kmode, direction=direction,
+        )
+        e = _entries_from_moments(mom_s)
+        ns = _normals_from_entries(e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0])
+        return mean_s, mom_s[0], ns[0], ns[1], ns[2]
+
+    sx, sy, sz, sv, _idx, *carry = _sorted_rows(
+        positions, mask, 0, extra=tuple(carry)
+    )
+    mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv, 0)
+    for p_i in range(1, passes):
+        sx, sy, sz, sv, _idx, *rest = _sorted_rows(
+            jnp.stack([sx, sy, sz]), sv, p_i,
+            extra=(*carry, mean, count, nx, ny, nz),
+        )
+        carry, (mean, count, nx, ny, nz) = rest[:-5], rest[-5:]
+        m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv, p_i % 2)
+        mean = jnp.minimum(mean, m2)
+        better = c2 > count
+        nx = jnp.where(better, nx2, nx)
+        ny = jnp.where(better, ny2, ny)
+        nz = jnp.where(better, nz2, nz)
+        count = jnp.where(better, c2, count)
+    return sx, sy, sz, sv, tuple(carry), mean, count, nx, ny, nz
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "window_blocks", "passes", "backend", "kmode"),
@@ -276,47 +321,19 @@ def fused_neighborhood_stats(
     true outliers are out-of-radius for their neighbors, so the normals
     are statistically unchanged).
     """
-    from .normals import _normals_from_entries
-
     if backend == "auto":
         backend = default_backend()
     n = positions.shape[-1]
 
     if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
-        interp = backend == "pallas_interpret"
-        from .pallas_window import window_stats_pallas
-
-        def one_pass(px, py, pz, pv, direction=0):
-            mean_s, _cnt_s, mom_s = window_stats_pallas(
-                px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
-                interpret=interp, kmode=kmode, direction=direction,
-            )
-            e = _entries_from_moments(mom_s)
-            ns = _normals_from_entries(
-                e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0]
-            )
-            return mean_s, mom_s[0], ns[0], ns[1], ns[2]
-
-        # Sort-chaining: pass p's outputs ride pass p+1's variadic sort as
-        # payload instead of being unsorted back after every pass — one
-        # final unsort total. passes=2 costs 3 sorts instead of 4 (~0.3 ms
-        # saved per scan at 131k, PERF_NOTES.md sort cost).
-        sx, sy, sz, sv, orig = _sorted_rows(positions, mask, 0)
-        mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv, 0)
-        for p_i in range(1, passes):
-            sx, sy, sz, sv, _pidx, orig, mean, count, nx, ny, nz = (
-                _sorted_rows(
-                    jnp.stack([sx, sy, sz]), sv, p_i,
-                    extra=(orig, mean, count, nx, ny, nz),
-                )
-            )
-            m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv, p_i % 2)
-            mean = jnp.minimum(mean, m2)
-            better = c2 > count
-            nx = jnp.where(better, nx2, nx)
-            ny = jnp.where(better, ny2, ny)
-            nz = jnp.where(better, nz2, nz)
-            count = jnp.where(better, c2, count)
+        # sort-chained passes with the original index carried as payload;
+        # one final unsort restores input order
+        idx = jnp.arange(n, dtype=jnp.int32)
+        _sx, _sy, _sz, sv, (orig,), mean, count, nx, ny, nz = _fused_passes(
+            positions, mask, (idx,), k=k, radius=radius,
+            window_blocks=window_blocks, passes=passes,
+            interp=(backend == "pallas_interpret"), kmode=kmode,
+        )
         mean, count, nx, ny, nz = _unsort(orig, (mean, count, nx, ny, nz))
         normals = jnp.stack([nx, ny, nz])
         return jnp.where(mask, mean, 0.0), normals, jnp.where(mask, count, 0.0)
@@ -364,8 +381,6 @@ def fused_neighborhood_stats_reordered(
     returns the inputs unchanged with stats in input order (alignment is
     the only contract).
     """
-    from .normals import _normals_from_entries
-
     if backend == "auto":
         backend = default_backend()
     n = positions.shape[-1]
@@ -378,18 +393,6 @@ def fused_neighborhood_stats_reordered(
         )
         return positions, mask, attrs, mean, normals, count
 
-    interp = backend == "pallas_interpret"
-    from .pallas_window import window_stats_pallas
-
-    def one_pass(px, py, pz, pv, direction=0):
-        mean_s, _cnt_s, mom_s = window_stats_pallas(
-            px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
-            interpret=interp, kmode=kmode, direction=direction,
-        )
-        e = _entries_from_moments(mom_s)
-        ns = _normals_from_entries(e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0])
-        return mean_s, mom_s[0], ns[0], ns[1], ns[2]
-
     # flatten attributes to [N] rows so they ride the variadic sorts
     flat = []
     specs = []
@@ -398,23 +401,11 @@ def fused_neighborhood_stats_reordered(
         specs.append((name, v.shape, rows.shape[0]))
         flat.extend(rows[i] for i in range(rows.shape[0]))
 
-    sx, sy, sz, sv, _idx, *flat = _sorted_rows(
-        positions, mask, 0, extra=tuple(flat)
+    sx, sy, sz, sv, flat, mean, count, nx, ny, nz = _fused_passes(
+        positions, mask, tuple(flat), k=k, radius=radius,
+        window_blocks=window_blocks, passes=passes,
+        interp=(backend == "pallas_interpret"), kmode=kmode,
     )
-    mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv, 0)
-    for p_i in range(1, passes):
-        sx, sy, sz, sv, _idx, *rest = _sorted_rows(
-            jnp.stack([sx, sy, sz]), sv, p_i,
-            extra=(*flat, mean, count, nx, ny, nz),
-        )
-        flat, (mean, count, nx, ny, nz) = rest[:-5], rest[-5:]
-        m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv, p_i % 2)
-        mean = jnp.minimum(mean, m2)
-        better = c2 > count
-        nx = jnp.where(better, nx2, nx)
-        ny = jnp.where(better, ny2, ny)
-        nz = jnp.where(better, nz2, nz)
-        count = jnp.where(better, c2, count)
 
     out_attrs = {}
     i = 0

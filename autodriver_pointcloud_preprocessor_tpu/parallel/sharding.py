@@ -320,6 +320,27 @@ def build_sharded_pipeline(
     cross-shard stages swapped in. Inputs must be sharded with
     ``shard_buffer`` (capacity divisible by the mesh size).
     """
+    cap = settings.post_downsample_capacity
+    if cap > 0:
+        n_shards = int(np.prod([
+            s for n, s in zip(mesh.axis_names, mesh.devices.shape)
+            if n == axis_name
+        ]))
+        if cap % (512 * n_shards) != 0:
+            # shards cap independently at ceil(cap/n)/512-rounded slots, so
+            # a cap that does not divide into 512-aligned per-shard shares
+            # silently inflates: the effective global cap becomes
+            # n * round512(ceil(cap/n)) — up to n*512 more than requested
+            import warnings
+
+            local = -(-cap // n_shards)  # ceil share per shard
+            eff = n_shards * (-(-local // 512) * 512)  # 512-rounded
+            warnings.warn(
+                f"post_downsample_capacity={cap} is not a multiple of "
+                f"512 * {n_shards} point-shards; the sharded pipeline caps "
+                f"per shard, making the effective global cap {eff}",
+                stacklevel=2,
+            )
     local_run = make_local_run(settings, axis_name)
 
     def run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):

@@ -666,12 +666,13 @@ class PointcloudPreprocessorNode:
                 # accepting it would make every later scan raise at
                 # pipeline-build time and be dropped (mirrors bad-ROI
                 # rejection semantics, reference :955-957)
-                if int(value) % 512 == 0:
+                if int(value) >= 0 and int(value) % 512 == 0:
                     self.engine.update_config({name: int(value)})
                 else:
                     result.successful = False
                     result.reason = (
-                        "downsample.max_points must be a multiple of 512"
+                        "downsample.max_points must be a non-negative "
+                        "multiple of 512"
                     )
             elif name in ("roi_min", "roi_max"):
                 if len(value) == 3:

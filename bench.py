@@ -137,8 +137,9 @@ def main() -> None:
 
     k_lo, k_hi = 8, 40
     keys = [jax.device_put(k) for k in jax.random.split(key, k_hi)]
-    for k_ in keys:
-        k_.block_until_ready()
+    # settle the transfers with a real sync: block_until_ready does NOT
+    # block on this backend (PERF_NOTES.md) — pull one element instead
+    np.asarray(keys[-1])[:1]
     tput = {}
     for kk in (k_lo, k_hi):
         samples = []
