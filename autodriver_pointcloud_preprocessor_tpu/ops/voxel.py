@@ -85,16 +85,22 @@ def voxel_downsample(
         from .dedup import _coordinate_keys
 
         kx, ky, kz = _coordinate_keys(buf.positions, valid)
+        # the bit-exact key rows ARE the positions (canonicalized -0.0 ->
+        # +0.0, value-equal; invalid rows become the NaN sentinel and are
+        # zeroed below) — no separate x/y/z payload rows needed: 8 sort
+        # rows instead of 11
         sorted_ops = jax.lax.sort(
-            (vx, vy, vz, kx, ky, kz, x, y, z, valid, idx, *float_rows),
+            (vx, vy, vz, kx, ky, kz, valid, idx, *float_rows),
             num_keys=6,
             is_stable=True,
         )
         sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
         skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
-        px, py, pz = sorted_ops[6], sorted_ops[7], sorted_ops[8]
-        svalid, sidx = sorted_ops[9], sorted_ops[10]
-        sorted_attr_rows = sorted_ops[11:]
+        px = jax.lax.bitcast_convert_type(skx, jnp.float32)
+        py = jax.lax.bitcast_convert_type(sky, jnp.float32)
+        pz = jax.lax.bitcast_convert_type(skz, jnp.float32)
+        svalid, sidx = sorted_ops[6], sorted_ops[7]
+        sorted_attr_rows = sorted_ops[8:]
     else:
         sorted_ops = jax.lax.sort(
             (vx, vy, vz, x, y, z, valid, idx, *float_rows),
