@@ -398,3 +398,19 @@ def test_throttled_missing_field_warning(caplog):
         assert w.warn("k", "msg")          # period elapsed: emitted
         assert w.warn("other", "msg2")     # independent key
     assert len(caplog.records) == 3
+
+
+def test_ros2_adapter_import_guard():
+    # without rclpy the adapter must fail loud with guidance (not at call
+    # time); the rest of the framework never touches rclpy
+    import importlib
+
+    try:
+        import rclpy  # noqa: F401
+        pytest.skip("rclpy installed; guard not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="TopicBus"):
+        importlib.import_module(
+            "autodriver_pointcloud_preprocessor_tpu.ros2_adapter"
+        )
