@@ -149,3 +149,43 @@ def test_fused_reordered_matches_unsorted_stats(rng):
     ru = np.asarray(ring)[valid][order_u]
     rr = np.asarray(attrs_r["ring"])[np.asarray(m_r)][order_r]
     np.testing.assert_array_equal(ru, rr)
+
+
+def test_fused_reordered_vmaps(rng):
+    # process_batch runs the reordered fused stage under vmap on TPU; the
+    # sort-chain + custom_vmap kernel composition must batch cleanly
+    import jax
+    import jax.numpy as jnp
+
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+
+    n, b = 512, 3
+    stacks, masks = [], []
+    for s in range(b):
+        r = np.random.default_rng(s)
+        pts = r.normal(0, 1, (n, 3)).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[:: (29 + s)] = False
+        stacks.append(pts.T)
+        masks.append(valid)
+    pos = jnp.asarray(np.stack(stacks))
+    msk = jnp.asarray(np.stack(masks))
+
+    def one(p, m):
+        out = fused_neighborhood_stats_reordered(
+            p, m, {}, k=6, radius=0.6, window_blocks=1, passes=2,
+            backend="pallas_interpret",
+        )
+        pos_r, mask_r, _attrs, mean_r, normals_r, cnt_r = out
+        return pos_r, mask_r, mean_r, normals_r, cnt_r
+
+    bp, bm, bmean, bnorm, bcnt = jax.vmap(one)(pos, msk)
+    for i in range(b):
+        sp, sm, smean, snorm, scnt = one(pos[i], msk[i])
+        np.testing.assert_allclose(np.asarray(bp[i]), np.asarray(sp), atol=0)
+        np.testing.assert_array_equal(np.asarray(bm[i]), np.asarray(sm))
+        np.testing.assert_allclose(
+            np.asarray(bmean[i]), np.asarray(smean), rtol=1e-6, atol=1e-6
+        )
