@@ -415,10 +415,11 @@ def window_stats_pallas(
             block), 1 = backward (previous block). Callers running
             multiple curve passes should alternate (ops/window.py).
         interpret: run in Pallas interpreter mode (CPU tests).
-        kmode: 'sweep' = exact k min-extractions (oracle-parity);
-            'bisect' = ~2x-cheaper threshold bisection whose mean is within
-            the bisection band of the sweep result (production default via
-            PipelineSettings.knn_kmode).
+        kmode: 'sweep' = exact k min-extractions (oracle-parity; the
+            production default — after unrolling it costs the same as
+            bisect at k=20); 'bisect' = threshold bisection whose mean is
+            within the bisection band of the sweep result — its cost is
+            k-INDEPENDENT, so prefer it for large k.
     Returns:
         (mean_knn_dist float32[N], knn_count float32[N],
          moments float32[10, N]) — moments rows are
