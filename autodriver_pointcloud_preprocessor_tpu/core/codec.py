@@ -67,8 +67,15 @@ def read_points(
                 colv = col if col.ndim == 1 else col.reshape(col.shape[0], -1)
                 finite &= np.isfinite(colv).all(axis=-1) if colv.ndim > 1 else np.isfinite(colv)
         arr = arr[finite]
-    elif reshape_organized_cloud and cloud.height > 1:
-        arr = arr.reshape(cloud.height, cloud.width)
+    # Both flags apply INDEPENDENTLY, like sensor_msgs_py.read_points as
+    # invoked at reference utils.py:206-211 (skip-nans first, then the
+    # organized reshape). When nan-skipping dropped rows the (H, W) grid no
+    # longer exists; sensor_msgs_py would raise on the reshape — we keep
+    # the cloud flat instead (documented deviation: degrade, don't drop
+    # the scan).
+    if reshape_organized_cloud and cloud.height > 1:
+        if arr.shape[0] == cloud.height * cloud.width:
+            arr = arr.reshape(cloud.height, cloud.width)
     return arr
 
 

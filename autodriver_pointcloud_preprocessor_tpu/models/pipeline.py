@@ -205,6 +205,13 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
     # at 131k). The standalone stage remains for every other combination,
     # and in profile mode (separate_stages=True), where per-stage timing
     # under the reference's 'remove_duplicate_points' key is the point.
+    # Known divergence between the two modes: the fused path's integer-
+    # attribute representative per voxel is the segment's FIRST row in
+    # (voxel, coordinate-bits) order, while the unfused dedup-then-voxel
+    # path keeps the lowest-original-index row — so profile mode can
+    # return different ring/return_type values for the same input
+    # (positions/mask are identical; set-parity is defined on positions,
+    # ops/voxel.py docstring).
     fuse_dedup = (
         not separate_stages
         and settings.remove_duplicates
@@ -372,6 +379,8 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                         p.radius_search_radius,
                         method=settings.knn_method,
                         window_backend="auto" if settings.pallas_ok else "xla",
+                        window_blocks=settings.window_blocks,
+                        passes=settings.neighborhood_passes,
                     ),
                     None,
                 ),
@@ -473,7 +482,12 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         voxel_downsample=float(cfg.get("voxel_size", 0.01)) > 0.0,
         downsample_method=str(cfg.get("downsample_method", "voxel")),
         fps_num_samples=int(cfg.get("downsample.num_samples", 4096)),
-        post_downsample_capacity=int(cfg.get("downsample.max_points", 0)),
+        # reference-shaped param accepts ANY value; the 512-multiple
+        # capacity is a kernel constraint, rounded up here (the node logs
+        # the effective capacity on reconfigure)
+        post_downsample_capacity=(
+            -(-int(cfg.get("downsample.max_points", 0)) // 512) * 512
+        ),
         remove_statistical_outliers=bool(
             cfg.get("remove_statistical_outliers", False)
         ),

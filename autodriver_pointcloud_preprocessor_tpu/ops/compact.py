@@ -118,11 +118,9 @@ def subsample_to(buf: ScanBuffer, capacity: int) -> ScanBuffer:
     for k, shape, nrows in specs:
         rows = [sattrs[i + j][:capacity] for j in range(nrows)]
         i += nrows
-        attrs[k] = (
-            jnp.stack(rows).reshape(shape[:-1] + (capacity,))
-            if nrows > 1
-            else rows[0]
-        )
+        # unconditional reshape: preserves leading singleton dims of
+        # (..., N) attributes (a (1, N) attr must come back (1, capacity))
+        attrs[k] = jnp.stack(rows).reshape(shape[:-1] + (capacity,))
     return ScanBuffer(
         positions=jnp.stack([sx[:capacity], sy[:capacity], sz[:capacity]]),
         mask=sm[:capacity],

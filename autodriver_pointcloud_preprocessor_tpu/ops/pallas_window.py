@@ -57,7 +57,12 @@ __all__ = ["window_stats_pallas"]
 _BIG = 1e30
 _BISECT = 9  # bisection iterations for kmode='bisect'; the center-block
              # initial bound is ~2 bits tighter than the full-window max,
-             # so 9 iterations match the accuracy 11 had from a loose bound
+             # so 9 iterations match the accuracy 11 had from a loose bound.
+             # Caveat: when a query block holds < k valid candidates
+             # (sparse regions, scan edges) the bound falls back to the
+             # full-window max, where 9 iterations give a ~4x wider
+             # relative band than 11 did — acceptable because accuracy-
+             # sensitive callers default to kmode='sweep' (exact).
 _B = 128  # sweep block: keeps the k-extraction loop carry small (a (window,
           # 512) carry spills VMEM and measures ~1.5x slower end to end)
 _G = 4  # sweep blocks per grid step: one wide DMA amortizes per-step cost

@@ -32,6 +32,8 @@ def remove_radius_outliers(
     method: str = "auto",
     exact_k: int = 64,
     window_backend: str = "auto",
+    window_blocks: int = 2,
+    passes: int = 2,
 ) -> ScanBuffer:
     """Mask out points with fewer than ``nb_points`` in-radius neighbors.
 
@@ -50,7 +52,8 @@ def remove_radius_outliers(
         count = jnp.sum((sq <= r2) & jnp.isfinite(sq), axis=-1)
     elif method == "window":
         _entries, count = window_normal_stats(
-            buf.positions, buf.mask, search_radius, backend=window_backend
+            buf.positions, buf.mask, search_radius, backend=window_backend,
+            window_blocks=window_blocks, passes=passes,
         )
     else:
         raise ValueError(f"unknown kNN method {method!r}")

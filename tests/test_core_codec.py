@@ -206,3 +206,33 @@ def test_rgb_packed_ingest():
     soa, meta = pointcloud_to_dict(msg)
     assert meta["has_rgb"]
     np.testing.assert_array_equal(soa["rgb"], rgb_u8)
+
+
+def test_read_points_organized_and_skip_nans_independent():
+    # reference utils.py:206-211 passes skip_nans and
+    # reshape_organized_cloud to read_points INDEPENDENTLY (they are not
+    # mutually exclusive). An organized DENSE cloud with skip_nans=True
+    # must still come back (H, W); a non-dense one with NaNs loses the
+    # grid (rows dropped) and stays flat instead of raising (documented
+    # deviation from sensor_msgs_py, which would raise on the reshape).
+    rng = np.random.default_rng(3)
+    fields, step = build_pointfields(["x", "y", "z"], [PointFieldType.FLOAT32] * 3)
+    dtype = structured_dtype_from_fields(fields, step)
+    arr = np.zeros(64, dtype=dtype)
+    arr["x"] = rng.normal(size=64).astype(np.float32)
+
+    dense = make_pointcloud2(arr, fields, height=8, is_dense=True)
+    out = read_points(dense, skip_nans=True, reshape_organized_cloud=True)
+    assert out.shape == (8, 8)
+
+    # non-dense but actually NaN-free: skip drops nothing -> still (8, 8)
+    clean = make_pointcloud2(arr, fields, height=8, is_dense=False)
+    out = read_points(clean, skip_nans=True, reshape_organized_cloud=True)
+    assert out.shape == (8, 8)
+
+    arr2 = arr.copy()
+    arr2["y"][::5] = np.nan
+    holey = make_pointcloud2(arr2, fields, height=8, is_dense=False)
+    out = read_points(holey, skip_nans=True, reshape_organized_cloud=True)
+    assert out.ndim == 1 and out.shape[0] == 64 - 13
+    assert np.isfinite(out["y"]).all()
