@@ -189,11 +189,17 @@ class StreamingEngine:
 
     # -- per-scan ---------------------------------------------------------
 
-    def process_scan_packets(
+    def _dispatch_scan(
         self, payloads: np.ndarray, stamps: np.ndarray,
         intensity_scale: float = 1.0,
-    ) -> bytes:
-        """One revolution's packets -> APCZ compressed blob."""
+    ):
+        """Dispatch one revolution (H2D + fused program); NO sync.
+
+        Returns the device result handles; resolve with ``_encode_result``.
+        Splitting dispatch from encode lets ``replay_pcap`` overlap scan
+        N+1's device work with scan N's host entropy coding (the two run
+        concurrently: the D2H pull for N blocks only the host).
+        """
         pb = self.packet_bucket
         p = payloads.shape[0]
         if p > pb:
@@ -208,14 +214,28 @@ class StreamingEngine:
 
         key = jax.random.fold_in(self._key, self._frame)
         self._frame += 1
-        packed, meta, plane = self._full_fn()(
+        packed, meta, _plane = self._full_fn()(
             jnp.asarray(fields_pad), jnp.asarray(stamp_off), jnp.int32(p),
             self.params, key, jnp.float32(intensity_scale),
         )
+        return packed, meta, intensity_scale
+
+    def _encode_result(self, handle) -> bytes:
+        """Pull a dispatched scan's quantized buffers and entropy-code."""
         from .compressor import encode_device_quantized
 
+        packed, meta, intensity_scale = handle
         return encode_device_quantized(
             np.asarray(packed), np.asarray(meta), self.qbits, intensity_scale
+        )
+
+    def process_scan_packets(
+        self, payloads: np.ndarray, stamps: np.ndarray,
+        intensity_scale: float = 1.0,
+    ) -> bytes:
+        """One revolution's packets -> APCZ compressed blob."""
+        return self._encode_result(
+            self._dispatch_scan(payloads, stamps, intensity_scale)
         )
 
     def process_scan_batch(
@@ -305,8 +325,17 @@ class StreamingEngine:
         bounds = [0, *wraps.tolist(), payloads.shape[0]]
         spans = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
         if batch <= 1:
+            # one-revolution pipelining: dispatch N+1 BEFORE pulling +
+            # entropy-coding N, so the device computes the next revolution
+            # while the host encodes the previous one (VERDICT r2 item 5)
+            pending = None
             for a, b in spans:
-                yield self.process_scan_packets(payloads[a:b], stamps[a:b])
+                handle = self._dispatch_scan(payloads[a:b], stamps[a:b])
+                if pending is not None:
+                    yield self._encode_result(pending)
+                pending = handle
+            if pending is not None:
+                yield self._encode_result(pending)
             return
         for i in range(0, len(spans), batch):
             group = spans[i : i + batch]

@@ -74,6 +74,19 @@ class PipelineSettings:
     #: the ground_plane parameter (the reference declares ground_plane/
     #: use_height but never uses them, :184-185; this makes them real)
     ground_method: str = "ransac"
+    #: PERFORMANCE ordering mode: run ground removal right after the voxel
+    #: stage, BEFORE the neighborhood stages (outliers/normals), instead of
+    #: the reference's outliers -> normals -> ground order (:514-543).
+    #: Ground points are typically the majority of a scan, and they are
+    #: removed at the end anyway — removing them first lets the
+    #: post_downsample_capacity shrink engage so the dominant neighborhood
+    #: stage runs at the non-ground point count (~2-3x faster full
+    #: pipeline). Documented semantic difference: outlier statistics and
+    #: normals are computed on the non-ground cloud only (the final
+    #: survivor SET is close but not identical to reference order — points
+    #: near the outlier threshold can flip; RANSAC samples the pre-outlier
+    #: cloud). Default False preserves reference order.
+    ground_before_neighborhood: bool = False
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
@@ -92,6 +105,11 @@ class PipelineSettings:
     #: bisect at k=20, so exact is the default) or 'bisect' (threshold
     #: bisection, k-INDEPENDENT cost: cheaper when nb_neighbors is large)
     knn_kmode: str = "sweep"
+    #: distance-matmul precision in the Pallas window kernel: 'highest'
+    #: (6-pass bf16 emulation, ~2^-24) or 'fast3' (dual hi/lo split, 3
+    #: passes, ~2^-16 of window span^2 — below the k-select packing
+    #: noise; see PERF_NOTES.md r3 for the measured quality comparison)
+    knn_d2mode: str = "highest"
     #: when outliers AND normals are both enabled on the window path, run
     #: them as ONE shared neighborhood sweep (ops/window.py
     #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
@@ -252,6 +270,32 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             )
         )
 
+    # ground-first performance ordering (see PipelineSettings docstring):
+    # ground runs right after voxel; the capacity shrink moves AFTER ground
+    # (fused into the neighborhood's first curve sort when possible)
+    ground_first = settings.ground_before_neighborhood and settings.remove_ground
+
+    def make_ground_stage():
+        if settings.ground_method == "height":
+            def ground(b, p, k):
+                b = ops.remove_ground_by_height(
+                    b, p.ground_plane, p.distance_threshold
+                )
+                return b, p.ground_plane
+
+        else:
+            def ground(b, p, k):
+                b, plane = ops.remove_ground(
+                    b,
+                    k,
+                    p.distance_threshold,
+                    settings.ransac_n,
+                    settings.num_iterations,
+                )
+                return b, plane
+
+        return ground
+
     if settings.voxel_downsample:
         method = settings.downsample_method
         vb = "auto" if settings.pallas_ok else "xla"
@@ -282,7 +326,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
         else:
             raise ValueError(f"unknown downsample_method {method!r}")
 
-        if settings.post_downsample_capacity > 0:
+        if settings.post_downsample_capacity > 0 and not ground_first:
             cap = settings.post_downsample_capacity  # 512-aligned (__post_init__)
 
             def shrink(b, p, k):
@@ -307,11 +351,45 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
 
             stages.append(("shrink", shrink))
 
+    if ground_first:
+        stages.append(("ground", make_ground_stage()))
+
     fuse = (
         settings.fuse_neighborhood
         and settings.remove_statistical_outliers
         and settings.estimate_normals
         and settings.knn_method != "exact"
+    )
+
+    # capacity shrink deferred past the early ground stage: fold it into
+    # the fused neighborhood's first curve sort (free); the unfused path
+    # pays one subsample_to sort instead
+    deferred_cap = (
+        settings.post_downsample_capacity
+        if ground_first and settings.post_downsample_capacity > 0
+        else 0
+    )
+    if deferred_cap and not fuse:
+        stages.append(
+            ("shrink", lambda b, p, k: (
+                ops.subsample_to(b, deferred_cap)
+                if deferred_cap < b.capacity else b,
+                None,
+            ))
+        )
+
+    # radius-outlier removal rides the SAME fused sweep when enabled on
+    # the window path: the kernel's in-radius2 count is one extra
+    # compare + row-reduction (ops/pallas_window.py row 12), vs a whole
+    # second window sweep for the standalone stage (~2x the config-2
+    # pipeline). Documented semantic (like the normals fusion): counts are
+    # taken over the pre-outlier-filter cloud — statistical outliers are
+    # isolated points, so their contribution to in-radius counts is
+    # negligible.
+    # (profile mode keeps the standalone stage so the reference's
+    # remove_radius_outliers timing key is still emitted per-stage)
+    fuse_radius = (
+        fuse and settings.remove_radius_outliers and not separate_stages
     )
 
     if fuse:
@@ -323,24 +401,32 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             # here because the pipeline has no point-order contract after
             # the voxel stage (which already reordered), and egress
             # compacts by mask (ops/window.py docstring)
-            pos, valid, attrs, mean_d, normals, _count = (
-                fused_neighborhood_stats_reordered(
-                    b.positions,
-                    b.mask,
-                    dict(b.attributes),
-                    k=settings.nb_neighbors,
-                    radius=p.search_radius,
-                    window_blocks=settings.window_blocks,
-                    passes=settings.neighborhood_passes,
-                    backend="auto" if settings.pallas_ok else "xla",
-                    kmode=settings.knn_kmode,
-                )
+            out = fused_neighborhood_stats_reordered(
+                b.positions,
+                b.mask,
+                dict(b.attributes),
+                k=settings.nb_neighbors,
+                radius=p.search_radius,
+                window_blocks=settings.window_blocks,
+                passes=settings.neighborhood_passes,
+                backend="auto" if settings.pallas_ok else "xla",
+                kmode=settings.knn_kmode,
+                shrink_to=(
+                    deferred_cap if deferred_cap < b.capacity else 0
+                ),
+                radius2=(p.radius_search_radius if fuse_radius else None),
+                d2mode=settings.knn_d2mode,
             )
+            pos, valid, attrs, mean_d, normals, _count = out[:6]
             # global outlier threshold (reference :514-519 semantics)
             n_live = jnp.maximum(jnp.sum(valid), 1)
             mu = jnp.sum(jnp.where(valid, mean_d, 0.0)) / n_live
             var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / n_live
             keep = valid & (mean_d <= mu + p.std_ratio * jnp.sqrt(var))
+            if fuse_radius:
+                keep = keep & (
+                    out[6] >= jnp.asarray(p.radius_nb_points, out[6].dtype)
+                )
             attrs["normals"] = normals
             return ScanBuffer(
                 positions=pos, mask=keep, attributes=attrs
@@ -368,7 +454,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             )
         )
 
-    if settings.remove_radius_outliers:
+    if settings.remove_radius_outliers and not fuse_radius:
         stages.append(
             (
                 "radius_outliers",
@@ -406,26 +492,8 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             )
         )
 
-    if settings.remove_ground:
-        if settings.ground_method == "height":
-            def ground(b, p, k):
-                b = ops.remove_ground_by_height(
-                    b, p.ground_plane, p.distance_threshold
-                )
-                return b, p.ground_plane
-
-        else:
-            def ground(b, p, k):
-                b, plane = ops.remove_ground(
-                    b,
-                    k,
-                    p.distance_threshold,
-                    settings.ransac_n,
-                    settings.num_iterations,
-                )
-                return b, plane
-
-        stages.append(("ground", ground))
+    if settings.remove_ground and not ground_first:
+        stages.append(("ground", make_ground_stage()))
 
     return stages
 
@@ -497,6 +565,9 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         max_neighbors=int(cfg.get("estimate_normals.max_neighbors", 30)),
         remove_ground=bool(cfg.get("remove_ground", False)),
         ground_method=str(cfg.get("remove_ground.method", "ransac")),
+        ground_before_neighborhood=bool(
+            cfg.get("remove_ground.before_neighborhood", False)
+        ),
         ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),

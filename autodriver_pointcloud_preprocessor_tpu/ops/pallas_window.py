@@ -69,10 +69,36 @@ _G = 4  # sweep blocks per grid step: one wide DMA amortizes per-step cost
 _F = 4  # HBM rows per scan: x, y, z, BIG*invalid
 
 
+def _dot_fast3(a, b, dims):
+    """dot_general at ~2^-16 relative accuracy in 3 bf16 MXU passes.
+
+    ``Precision.HIGHEST`` costs 6 passes. Split BOTH operands hi+lo
+    (hi = bf16 round, |lo| <= 2^-8|x|) and drop only the lo*lo term:
+    error ~2^-16 of the term-magnitude sum. For the distance matmul that
+    is ~2^-16 * (window span)^2 — after per-block centering the span is a
+    few meters, so the absolute error sits below the k-select's 2^-12
+    mantissa-packing noise and far below the Hilbert-window approximation
+    itself (quality measured unchanged; PERF_NOTES.md round 3).
+    """
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for x, y in ((ah, bh), (ah, bl), (al, bh)):
+        d = jax.lax.dot_general(
+            x, y, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _kernel(
-    r2_ref,  # SMEM (batch, 1) squared radius per scan
+    r2_ref,  # SMEM (batch, 2) squared radii per scan: [normals, radius2]
     feat_hbm,  # ANY (batch, 4, Npad) x/y/z/BIG*invalid rows
-    mom_ref,  # VMEM out (16, B): rows 0-9 moments, 10 mean_knn, 11 count
+    mom_ref,  # VMEM out (16, B): rows 0-9 moments, 10 mean_knn, 11 count,
+              # 12 in-radius2 count
     feat_vmem,  # scratch (2, 4, window) double buffer
     sems,  # DMA semaphores (2,)
     *,
@@ -82,6 +108,7 @@ def _kernel(
     kmode: str,
     dma_off: int,
     qoff: int,
+    d2mode: str,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -112,6 +139,7 @@ def _kernel(
     feat = feat_vmem[t % 2]
 
     r2 = r2_ref[b, 0]
+    r2b = r2_ref[b, 1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (sub_window, _B), 0)
     center_row = (rows >= halo) & (rows < halo + _B)
     results = []
@@ -144,14 +172,25 @@ def _kernel(
 
         # (sub_window, B) squared distances (+BIG for invalid candidates)
         # in one matmul
-        d2 = jax.lax.dot_general(
-            cand,
-            qry,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        dims = (((0,), (0,)), ((), ()))
+        if d2mode == "fast3":
+            d2 = _dot_fast3(cand, qry, dims)
+        else:
+            d2 = jax.lax.dot_general(
+                cand,
+                qry,
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         d2 = jnp.maximum(d2, 0.0)
+
+        # in-radius2 count (radius-outlier consumer; ~free alongside the
+        # sweep — one compare + row-reduction)
+        cnt2 = jnp.sum(
+            jnp.where((d2 <= r2b) & (d2 < _BIG / 2), 1.0, 0.0),
+            axis=0, keepdims=True,
+        )
 
         # ---- covariance raw moments over in-radius candidates ----
         # about the block origin c0 — origin-invariant consumers only.
@@ -259,15 +298,16 @@ def _kernel(
             cnt = jnp.minimum(cnt, kf)
         results.append(
             jnp.concatenate(
-                [moments, mean, cnt, jnp.zeros((4, _B), jnp.float32)]
+                [moments, mean, cnt, cnt2, jnp.zeros((3, _B), jnp.float32)]
             )
         )
     mom_ref[0, :, :] = jnp.concatenate(results, axis=1)
 
 
-def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
-                  kmode, direction=0):
-    """Batched kernel invocation: (B, N) rows -> (B, N), (B, N), (B, 10, N).
+def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
+                  interpret, kmode, direction=0, d2mode="highest"):
+    """Batched kernel invocation:
+    (B, N) rows -> mean (B, N), cnt (B, N), mom (B, 10, N), cnt2 (B, N).
 
     One pallas_call with a (batch, num_blocks) grid; the double-buffered
     window DMA prefetches across batch boundaries (linear step order).
@@ -323,14 +363,18 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
     pad_mask = jnp.zeros(n + 2 * pad, jnp.float32).at[pad : pad + n].set(1.0)
     feat = feat.at[:, 3, :].add((1.0 - pad_mask) * _BIG)
 
-    r2 = jnp.broadcast_to(
-        jnp.asarray(radius, jnp.float32) ** 2, (batch,)
-    ).reshape(batch, 1)
+    r2 = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (batch,)),
+            jnp.broadcast_to(jnp.asarray(radius2, jnp.float32) ** 2, (batch,)),
+        ],
+        axis=1,
+    )  # (batch, 2)
 
     packed = pl.pallas_call(
         functools.partial(
             _kernel, k=k, window=window, qb=qb, kmode=kmode,
-            dma_off=dma_off, qoff=qoff,
+            dma_off=dma_off, qoff=qoff, d2mode=d2mode,
         ),
         grid=(batch, nb),
         in_specs=[
@@ -353,27 +397,27 @@ def _call_batched(sx, sy, sz, sv, radius, *, k, window_blocks, interpret,
         .transpose(0, 2, 1, 3)
         .reshape(batch, 16, n)
     )
-    return packed[:, 10], packed[:, 11], packed[:, :10]
+    return packed[:, 10], packed[:, 11], packed[:, :10], packed[:, 12]
 
 
 @functools.lru_cache(maxsize=32)
 def _make_window_stats(k: int, window_blocks: int, interpret: bool,
-                       kmode: str, direction: int):
+                       kmode: str, direction: int, d2mode: str):
     """custom_vmap wrapper per static config: vmapping routes to the batch
     grid dimension instead of Mosaic's (unsupported) pallas batching."""
 
     @jax.custom_batching.custom_vmap
-    def fn(sx, sy, sz, sv, radius):
-        mean, cnt, mom = _call_batched(
-            sx[None], sy[None], sz[None], sv[None], radius,
+    def fn(sx, sy, sz, sv, radius, radius2):
+        mean, cnt, mom, cnt2 = _call_batched(
+            sx[None], sy[None], sz[None], sv[None], radius, radius2,
             k=k, window_blocks=window_blocks, interpret=interpret,
-            kmode=kmode, direction=direction,
+            kmode=kmode, direction=direction, d2mode=d2mode,
         )
-        return mean[0], cnt[0], mom[0]
+        return mean[0], cnt[0], mom[0], cnt2[0]
 
     @fn.def_vmap
-    def _vmap_rule(axis_size, in_batched, sx, sy, sz, sv, radius):
-        bx, by, bz, bv, br = in_batched
+    def _vmap_rule(axis_size, in_batched, sx, sy, sz, sv, radius, radius2):
+        bx, by, bz, bv, br, br2 = in_batched
 
         def bcast(x, is_b):
             return x if is_b else jnp.broadcast_to(x, (axis_size,) + x.shape)
@@ -382,10 +426,11 @@ def _make_window_stats(k: int, window_blocks: int, interpret: bool,
             bcast(sx, bx), bcast(sy, by), bcast(sz, bz),
             bcast(sv, bv),
             bcast(jnp.asarray(radius, jnp.float32), br),
+            bcast(jnp.asarray(radius2, jnp.float32), br2),
             k=k, window_blocks=window_blocks, interpret=interpret,
-            kmode=kmode, direction=direction,
+            kmode=kmode, direction=direction, d2mode=d2mode,
         )
-        return out, (True, True, True)
+        return out, (True, True, True, True)
 
     return fn
 
@@ -401,7 +446,9 @@ def window_stats_pallas(
     interpret: bool = False,
     kmode: str = "sweep",
     direction: int = 0,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    radius2=None,
+    d2mode: str = "highest",
+) -> Tuple[jax.Array, ...]:
     """Windowed stats over curve-sorted planar rows.
 
     vmap-safe: batching maps onto a leading grid dimension of the same
@@ -425,6 +472,14 @@ def window_stats_pallas(
             bisect at k=20); 'bisect' = threshold bisection whose mean is
             within the bisection band of the sweep result — its cost is
             k-INDEPENDENT, so prefer it for large k.
+        radius2: optional second in-radius threshold (traced). When given,
+            a fourth output — the in-radius2 candidate count [N] — is
+            returned, letting radius-outlier removal ride the same sweep
+            (one compare + row-reduction, ~free).
+        d2mode: 'highest' = Precision.HIGHEST distance matmul (6 bf16 MXU
+            passes, ~2^-24); 'fast3' = dual hi/lo bf16 split dropping the
+            lo*lo term (3 passes, ~2^-16 of the window span^2 — see
+            _dot_fast3; below the k-select packing noise).
     Returns:
         (mean_knn_dist float32[N], knn_count float32[N],
          moments float32[10, N]) — moments rows are
@@ -437,10 +492,16 @@ def window_stats_pallas(
     """
     if kmode not in ("sweep", "bisect"):
         raise ValueError(f"kmode must be 'sweep' or 'bisect', got {kmode!r}")
+    if d2mode not in ("highest", "fast3"):
+        raise ValueError(f"d2mode must be 'highest' or 'fast3', got {d2mode!r}")
     fn = _make_window_stats(
-        k, window_blocks, interpret, kmode, direction if window_blocks == 0 else 0
+        k, window_blocks, interpret, kmode,
+        direction if window_blocks == 0 else 0, d2mode,
     )
-    return fn(
+    out = fn(
         sorted_x, sorted_y, sorted_z, sorted_valid,
         jnp.asarray(radius, jnp.float32),
+        jnp.asarray(0.0 if radius2 is None else radius2, jnp.float32),
     )
+    # 3-tuple unless the caller asked for the second-radius count
+    return out if radius2 is not None else out[:3]

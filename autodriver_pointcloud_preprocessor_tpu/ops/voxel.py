@@ -67,18 +67,27 @@ def voxel_downsample(
     vy = jnp.where(valid, jnp.floor(y * inv).astype(jnp.int32), big)
     vz = jnp.where(valid, jnp.floor(z * inv).astype(jnp.int32), big)
 
-    # float rows ride the sort; int attrs are gathered later by first_idx
-    float_attrs = [
-        (name, arr)
-        for name, arr in sorted(buf.attributes.items())
-        if jnp.issubdtype(arr.dtype, jnp.floating)
-    ]
+    # float rows ride the sort (segment MEAN); narrow int attrs (<= 16-bit
+    # values, exact in f32) ALSO ride the sort as f32 rows and take the
+    # segment's first value via the same flag-masked run-sum trick as
+    # first_idx — eliminating the [N] gather (~0.9 ms at 131k,
+    # PERF_NOTES.md) that wide ints still need as the fallback.
     float_rows = []
-    row_slices = []  # (name, start, num_rows)
-    for name, arr in float_attrs:
-        rows = arr[None, :] if arr.ndim == 1 else arr
-        row_slices.append((name, len(float_rows), rows.shape[0]))
-        float_rows.extend(rows[c] for c in range(rows.shape[0]))
+    row_slices = []  # (name, start, num_rows) — segment-MEAN channels
+    first_slices = []  # (name, start, num_rows) — first-of-segment channels
+    gather_attrs = []  # wide ints: fall back to the first_idx gather
+    for name, arr in sorted(buf.attributes.items()):
+        rows = arr[None, :] if arr.ndim == 1 else arr.reshape(-1, n)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            row_slices.append((name, len(float_rows), rows.shape[0]))
+            float_rows.extend(rows[c] for c in range(rows.shape[0]))
+        elif arr.dtype.itemsize <= 2:  # u8/u16/i8/i16/bool: f32-exact
+            first_slices.append((name, len(float_rows), rows.shape[0]))
+            float_rows.extend(
+                rows[c].astype(jnp.float32) for c in range(rows.shape[0])
+            )
+        else:
+            gather_attrs.append(name)
 
     idx = jnp.arange(n, dtype=jnp.int32)
     if dedup_exact:
@@ -154,7 +163,8 @@ def voxel_downsample(
     if backend in ("pallas", "pallas_interpret"):
         return _voxel_reduce_pallas(
             buf, new_group, w, (px, py, pz), sidx, sorted_attr_rows,
-            row_slices, interpret=(backend == "pallas_interpret"),
+            row_slices, first_slices, gather_attrs,
+            interpret=(backend == "pallas_interpret"),
         )
 
     seg_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # -1 before first group
@@ -166,21 +176,16 @@ def voxel_downsample(
         s = jax.ops.segment_sum(row_sorted * w, seg_id, num_segments=n)
         return s / denom
 
+    def seg_first_row(row_sorted):
+        # exactly one new_group flag per segment -> first value is a sum
+        return jax.ops.segment_sum(
+            jnp.where(new_group, row_sorted, 0.0), seg_id, num_segments=n
+        )
+
     new_pos = jnp.stack(
         [seg_mean_row(px), seg_mean_row(py), seg_mean_row(pz)]
     )
     new_mask = counts > 0
-
-    # the segment-START row's original index, for integer attrs (exactly
-    # one new_group flag per segment makes this a plain segment sum — the
-    # same trick the Pallas path uses, so both backends pick the same
-    # representative). With num_keys=3 the start row is also the lowest
-    # original index (stable sort); under dedup_exact it is the first row
-    # in coordinate-bits order (see docstring).
-    first_idx = jax.ops.segment_sum(
-        jnp.where(new_group, sidx, 0), seg_id, num_segments=n
-    )
-    first_idx = jnp.clip(first_idx, 0, n - 1)
 
     attrs = {}
     for name, start, num_rows in row_slices:
@@ -189,17 +194,37 @@ def voxel_downsample(
         if orig.ndim == 1:
             attrs[name] = means[0].astype(orig.dtype)
         else:
-            attrs[name] = jnp.stack(means).astype(orig.dtype)
-    for name, arr in buf.attributes.items():
-        if not jnp.issubdtype(arr.dtype, jnp.floating):
-            attrs[name] = arr[..., first_idx]
+            attrs[name] = jnp.stack(means).reshape(
+                orig.shape[:-1] + (n,)
+            ).astype(orig.dtype)
+    for name, start, num_rows in first_slices:
+        firsts = [
+            seg_first_row(sorted_attr_rows[start + c]) for c in range(num_rows)
+        ]
+        orig = buf.attributes[name]
+        stacked = jnp.round(jnp.stack(firsts))  # f32-exact values
+        attrs[name] = (
+            stacked[0] if orig.ndim == 1
+            else stacked.reshape(orig.shape[:-1] + (n,))
+        ).astype(orig.dtype)
+    if gather_attrs:
+        # the segment-START row's original index, for WIDE integer attrs
+        # only (values not exact in f32). With num_keys=3 the start row is
+        # also the lowest original index (stable sort); under dedup_exact
+        # it is the first row in coordinate-bits order (see docstring).
+        first_idx = jax.ops.segment_sum(
+            jnp.where(new_group, sidx, 0), seg_id, num_segments=n
+        )
+        first_idx = jnp.clip(first_idx, 0, n - 1)
+        for name in gather_attrs:
+            attrs[name] = buf.attributes[name][..., first_idx]
 
     return ScanBuffer(positions=new_pos, mask=new_mask, attributes=attrs)
 
 
 def _voxel_reduce_pallas(
     buf, new_group, w, sorted_pos, sidx, sorted_attr_rows, row_slices,
-    interpret,
+    first_slices, gather_attrs, interpret,
 ):
     """Segment means via the Pallas run-sum kernel (channels of <= 8)."""
     from .pallas_segmean import segmented_sums_pallas
@@ -208,11 +233,21 @@ def _voxel_reduce_pallas(
     n = buf.capacity
     flag_f = new_group.astype(jnp.float32)
     # stable sort => first element of each run has the smallest original
-    # index; flag-masking turns "first index" into a plain run sum
-    first_ch = sidx.astype(jnp.float32) * flag_f
+    # index; flag-masking turns "first index" into a plain run sum. Narrow
+    # int attrs use the SAME trick on their values directly (first_slices),
+    # eliminating the per-attr gather; the index channel is only needed for
+    # wide ints that cannot ride f32 exactly.
+    first_rows = {start + c for _, start, nr in first_slices for c in range(nr)}
 
-    channels = [w, px * w, py * w, pz * w, first_ch]
-    channels += [row * w for row in sorted_attr_rows]
+    channels = [w, px * w, py * w, pz * w]
+    if gather_attrs:
+        channels.append(sidx.astype(jnp.float32) * flag_f)
+    idx_ch = len(channels) - 1 if gather_attrs else None
+    attr_ch0 = len(channels)
+    channels += [
+        row * (flag_f if i in first_rows else w)
+        for i, row in enumerate(sorted_attr_rows)
+    ]
 
     sums_rows = []
     for start in range(0, len(channels), 8):
@@ -226,20 +261,32 @@ def _voxel_reduce_pallas(
         [sums_rows[1] / denom, sums_rows[2] / denom, sums_rows[3] / denom]
     )
     new_mask = counts > 0
-    first_idx = jnp.clip(
-        (sums_rows[4] + 0.5).astype(jnp.int32), 0, n - 1
-    )
 
     attrs = {}
     for name, start, num_rows in row_slices:
-        means = [sums_rows[5 + start + c] / denom for c in range(num_rows)]
+        means = [
+            sums_rows[attr_ch0 + start + c] / denom for c in range(num_rows)
+        ]
         orig = buf.attributes[name]
         if orig.ndim == 1:
             attrs[name] = means[0].astype(orig.dtype)
         else:
-            attrs[name] = jnp.stack(means).astype(orig.dtype)
-    for name, arr in buf.attributes.items():
-        if not jnp.issubdtype(arr.dtype, jnp.floating):
-            attrs[name] = arr[..., first_idx]
+            attrs[name] = jnp.stack(means).reshape(
+                orig.shape[:-1] + (n,)
+            ).astype(orig.dtype)
+    for name, start, num_rows in first_slices:
+        firsts = [sums_rows[attr_ch0 + start + c] for c in range(num_rows)]
+        orig = buf.attributes[name]
+        stacked = jnp.round(jnp.stack(firsts))  # f32-exact values
+        attrs[name] = (
+            stacked[0] if orig.ndim == 1
+            else stacked.reshape(orig.shape[:-1] + (n,))
+        ).astype(orig.dtype)
+    if gather_attrs:
+        first_idx = jnp.clip(
+            (sums_rows[idx_ch] + 0.5).astype(jnp.int32), 0, n - 1
+        )
+        for name in gather_attrs:
+            attrs[name] = buf.attributes[name][..., first_idx]
 
     return ScanBuffer(positions=new_pos, mask=new_mask, attributes=attrs)

@@ -268,7 +268,8 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
 
 
 def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
-                  passes, interp, kmode):
+                  passes, interp, kmode, shrink_to=0, radius2=None,
+                  d2mode="highest"):
     """Shared sort-chained multi-pass core of the fused neighborhood ops.
 
     Runs ``passes`` curve passes through the Pallas kernel, chaining each
@@ -277,39 +278,80 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
     costs 2 sorts instead of 4 (~0.3 ms/sort at 131k, PERF_NOTES.md).
     Min-merges the kNN means, keeps the higher-count pass's normals.
 
-    Returns ``(sx, sy, sz, sv, carry_rows, mean, count, nx, ny, nz)`` all
-    in the FINAL pass's curve order.
+    ``shrink_to`` (static, multiple of 128): shrink the buffer to this
+    capacity FOR FREE inside the first curve sort — invalid rows sort
+    last (hilbert_codes sentinel), so a static prefix slice of the sorted
+    rows keeps every live point whenever live <= shrink_to. On overflow a
+    deterministic binomial pre-subsample (hash of slot index) thins live
+    points to ~shrink_to first, so the prefix drop is unbiased up to the
+    small binomial excess (~sqrt(shrink_to) points from the curve tail).
+    This replaces a standalone subsample_to stage (a full extra variadic
+    sort) when a capacity shrink immediately precedes the neighborhood.
+
+    Returns ``(sx, sy, sz, sv, carry_rows, mean, count, nx, ny, nz,
+    count2)`` all in the FINAL pass's curve order (length ``shrink_to``
+    when set); ``count2`` is None unless ``radius2`` was given (in-radius2
+    counts, max-merged across passes — windows only ever UNDERCOUNT, so
+    max is the best estimator).
     """
     from .normals import _normals_from_entries
     from .pallas_window import window_stats_pallas
 
+    use_r2 = radius2 is not None
+
     def one_pass(px, py, pz, pv, direction):
-        mean_s, _cnt_s, mom_s = window_stats_pallas(
+        out = window_stats_pallas(
             px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
             interpret=interp, kmode=kmode, direction=direction,
+            radius2=radius2, d2mode=d2mode,
         )
+        mean_s, _cnt_s, mom_s = out[:3]
+        cnt2_s = out[3] if use_r2 else None
         e = _entries_from_moments(mom_s)
         ns = _normals_from_entries(e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0])
-        return mean_s, mom_s[0], ns[0], ns[1], ns[2]
+        return mean_s, mom_s[0], ns[0], ns[1], ns[2], cnt2_s
+
+    n = positions.shape[-1]
+    if shrink_to and shrink_to < n:
+        n_live = jnp.sum(mask.astype(jnp.int32))
+        slot = jnp.arange(n, dtype=jnp.int32)
+        pri = (slot * jnp.int32(-1640531527)).astype(jnp.uint32)
+        p = jnp.float32(shrink_to) / jnp.maximum(
+            n_live.astype(jnp.float32), 1.0
+        )
+        keep = pri.astype(jnp.float32) < p * jnp.float32(2.0**32)
+        mask = mask & ((n_live <= shrink_to) | keep)
 
     sx, sy, sz, sv, _idx, *carry = _sorted_rows(
         positions, mask, 0, extra=tuple(carry)
     )
-    mean, count, nx, ny, nz = one_pass(sx, sy, sz, sv, 0)
+    if shrink_to and shrink_to < n:
+        sx, sy, sz, sv = (
+            sx[:shrink_to], sy[:shrink_to], sz[:shrink_to], sv[:shrink_to]
+        )
+        _idx = _idx[:shrink_to]
+        carry = [c[:shrink_to] for c in carry]
+    mean, count, nx, ny, nz, cnt2 = one_pass(sx, sy, sz, sv, 0)
     for p_i in range(1, passes):
+        stat_rows = (mean, count, nx, ny, nz) + ((cnt2,) if use_r2 else ())
         sx, sy, sz, sv, _idx, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
-            extra=(*carry, mean, count, nx, ny, nz),
+            extra=(*carry, *stat_rows),
         )
-        carry, (mean, count, nx, ny, nz) = rest[:-5], rest[-5:]
-        m2, c2, nx2, ny2, nz2 = one_pass(sx, sy, sz, sv, p_i % 2)
+        ns = len(stat_rows)
+        carry, stat_rows = rest[:-ns], rest[-ns:]
+        mean, count, nx, ny, nz = stat_rows[:5]
+        cnt2 = stat_rows[5] if use_r2 else None
+        m2, c2, nx2, ny2, nz2, cnt2b = one_pass(sx, sy, sz, sv, p_i % 2)
         mean = jnp.minimum(mean, m2)
         better = c2 > count
         nx = jnp.where(better, nx2, nx)
         ny = jnp.where(better, ny2, ny)
         nz = jnp.where(better, nz2, nz)
         count = jnp.where(better, c2, count)
-    return sx, sy, sz, sv, tuple(carry), mean, count, nx, ny, nz
+        if use_r2:
+            cnt2 = jnp.maximum(cnt2, cnt2b)
+    return sx, sy, sz, sv, tuple(carry), mean, count, nx, ny, nz, cnt2
 
 
 @functools.partial(
@@ -345,10 +387,12 @@ def fused_neighborhood_stats(
         # sort-chained passes with the original index carried as payload;
         # one final unsort restores input order
         idx = jnp.arange(n, dtype=jnp.int32)
-        _sx, _sy, _sz, sv, (orig,), mean, count, nx, ny, nz = _fused_passes(
-            positions, mask, (idx,), k=k, radius=radius,
-            window_blocks=window_blocks, passes=passes,
-            interp=(backend == "pallas_interpret"), kmode=kmode,
+        _sx, _sy, _sz, sv, (orig,), mean, count, nx, ny, nz, _c2 = (
+            _fused_passes(
+                positions, mask, (idx,), k=k, radius=radius,
+                window_blocks=window_blocks, passes=passes,
+                interp=(backend == "pallas_interpret"), kmode=kmode,
+            )
         )
         mean, count, nx, ny, nz = _unsort(orig, (mean, count, nx, ny, nz))
         normals = jnp.stack([nx, ny, nz])
@@ -382,6 +426,9 @@ def fused_neighborhood_stats_reordered(
     passes: int = 2,
     backend: str = "auto",
     kmode: str = "sweep",
+    shrink_to: int = 0,
+    radius2=None,
+    d2mode: str = "highest",
 ):
     """`fused_neighborhood_stats` that REORDERS the buffer instead of
     unsorting the stats.
@@ -392,22 +439,44 @@ def fused_neighborhood_stats_reordered(
     carry positions/mask/attributes THROUGH the curve sorts and leave
     everything in the final pass's curve order, stats aligned.
 
-    Returns ``(positions, mask, attrs, mean_knn, normals, count)`` — all
-    in the SAME (reordered) order on the pallas path; the XLA fallback
-    returns the inputs unchanged with stats in input order (alignment is
-    the only contract).
+    Returns ``(positions, mask, attrs, mean_knn, normals, count[,
+    count2])`` — all in the SAME (reordered) order on the pallas path; the
+    XLA fallback returns the inputs unchanged with stats in input order
+    (alignment is the only contract). ``shrink_to`` (static, multiple of
+    128, pallas path only): shrink the buffer to this capacity inside the
+    first curve sort (see ``_fused_passes``) — outputs come back at the
+    smaller capacity; 0 disables. The XLA fallback applies
+    ``subsample_to`` semantics via ops.compact before computing (same
+    output capacity). ``radius2``: when given, the in-radius2 candidate
+    count rides the same sweep and is returned as a 7th element
+    (radius-outlier fusion; max-merged across passes).
     """
     if backend == "auto":
         backend = default_backend()
     n = positions.shape[-1]
 
     if backend not in ("pallas", "pallas_interpret") or n % 128 != 0:
+        if shrink_to and shrink_to < n:
+            from ..core.scan import ScanBuffer
+            from .compact import subsample_to
+
+            b = subsample_to(
+                ScanBuffer(positions=positions, mask=mask, attributes=attrs),
+                shrink_to,
+            )
+            positions, mask, attrs = b.positions, b.mask, dict(b.attributes)
         mean, normals, count = fused_neighborhood_stats(
             positions, mask, k=k, radius=radius,
             window_blocks=window_blocks, passes=passes, backend=backend,
             kmode=kmode,
         )
-        return positions, mask, attrs, mean, normals, count
+        if radius2 is None:
+            return positions, mask, attrs, mean, normals, count
+        _entries, count2 = window_normal_stats(
+            positions, mask, radius2, window_blocks=window_blocks,
+            passes=passes, backend="xla",
+        )
+        return positions, mask, attrs, mean, normals, count, count2
 
     # flatten attributes to [N] rows so they ride the variadic sorts
     flat = []
@@ -417,22 +486,24 @@ def fused_neighborhood_stats_reordered(
         specs.append((name, v.shape, rows.shape[0]))
         flat.extend(rows[i] for i in range(rows.shape[0]))
 
-    sx, sy, sz, sv, flat, mean, count, nx, ny, nz = _fused_passes(
+    sx, sy, sz, sv, flat, mean, count, nx, ny, nz, cnt2 = _fused_passes(
         positions, mask, tuple(flat), k=k, radius=radius,
         window_blocks=window_blocks, passes=passes,
         interp=(backend == "pallas_interpret"), kmode=kmode,
+        shrink_to=shrink_to, radius2=radius2, d2mode=d2mode,
     )
 
     out_attrs = {}
     i = 0
+    n_out = sx.shape[-1]  # == shrink_to when the in-sort shrink engaged
     for name, shape, nrows in specs:
         rows = flat[i : i + nrows]
         i += nrows
         # unconditional reshape: preserves leading singleton dims of
-        # (..., N) attributes (a (1, N) attr must come back (1, N))
-        out_attrs[name] = jnp.stack(rows).reshape(shape)
+        # (..., N) attributes (a (1, N) attr must come back (1, n_out))
+        out_attrs[name] = jnp.stack(rows).reshape(shape[:-1] + (n_out,))
     normals = jnp.stack([nx, ny, nz])
-    return (
+    base = (
         jnp.stack([sx, sy, sz]),
         sv,
         out_attrs,
@@ -440,6 +511,9 @@ def fused_neighborhood_stats_reordered(
         normals,
         jnp.where(sv, count, 0.0),
     )
+    if radius2 is None:
+        return base
+    return base + (jnp.where(sv, cnt2, 0.0),)
 
 
 @functools.partial(

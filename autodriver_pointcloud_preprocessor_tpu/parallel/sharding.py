@@ -151,12 +151,45 @@ def _global_outlier_keep(buf, mean_d, std_ratio, axis_name):
     return mean_d <= mu + jnp.asarray(std_ratio, jnp.float32) * jnp.sqrt(var)
 
 
-def _sharded_outliers(buf, settings, std_ratio, axis_name):
+def _halo_exchange(positions, mask, axis_name, halo):
+    """Borrow ``halo`` curve-edge columns from each neighboring shard.
+
+    ``shard_buffer``'s Hilbert pre-sort makes shards curve-contiguous
+    spatial slabs, so a boundary point's missing neighbors live in the
+    ADJACENT shard's edge columns. Two ``ppermute``s over ICI ship each
+    shard's tail to its successor and its head to its predecessor (~halo *
+    16 bytes — negligible vs the slab), and the window ops then run on the
+    extended ``[prev_tail | local | next_head]`` rows; callers slice the
+    stats back to the local columns. End shards get zero-filled halos with
+    a False mask (no wrap-around: the curve's two ends are not spatial
+    neighbors).
+
+    Measured (PERF_NOTES.md, 8 slabs of 2048): outlier-classification
+    agreement vs exact kNN 91.4% -> 97.4% with halo=512 (single-device
+    window: 99.7%). Returns ``(ext_positions, ext_mask, halo_used)``.
+    """
+    n_sh = jax.lax.axis_size(axis_name)
+    halo = min(halo, positions.shape[-1])
+    if n_sh == 1 or halo == 0:
+        return positions, mask, 0
+    fwd = [(i, i + 1) for i in range(n_sh - 1)]  # unpaired shard 0 gets zeros
+    bwd = [(i + 1, i) for i in range(n_sh - 1)]
+    prev_tail = jax.lax.ppermute(positions[:, -halo:], axis_name, fwd)
+    prev_mask = jax.lax.ppermute(mask[-halo:], axis_name, fwd)
+    next_head = jax.lax.ppermute(positions[:, :halo], axis_name, bwd)
+    next_mask = jax.lax.ppermute(mask[:halo], axis_name, bwd)
+    ext_pos = jnp.concatenate([prev_tail, positions, next_head], axis=-1)
+    ext_mask = jnp.concatenate([prev_mask, mask, next_mask])
+    return ext_pos, ext_mask, halo
+
+
+def _sharded_outliers(buf, settings, std_ratio, axis_name, halo):
     """Local neighborhood distances, exact global mean/std via psum.
 
     The production window path runs with the SAME knobs as single-chip
     (window_blocks / passes / kmode / backend from settings) — shard-local
-    windows over the spatially-sorted shard slab, global threshold.
+    windows over the spatially-sorted shard slab plus an ICI halo
+    (``_halo_exchange``), global threshold.
     """
     method = _resolve_knn_method(settings, buf.capacity, axis_name)
     if method == "exact":
@@ -167,27 +200,31 @@ def _sharded_outliers(buf, settings, std_ratio, axis_name):
         mean_d = jnp.sum(jnp.where(finite, d, 0.0), axis=-1) / cnt
     else:
         kw = _window_kwargs(settings)
+        pos, msk, h = _halo_exchange(buf.positions, buf.mask, axis_name, halo)
         mean_d = window_mean_knn_dist(
-            buf.positions, buf.mask, k=settings.nb_neighbors,
+            pos, msk, k=settings.nb_neighbors,
             backend=kw["window_backend"], window_blocks=kw["window_blocks"],
             passes=kw["passes"], kmode=settings.knn_kmode,
         )
+        mean_d = jax.lax.dynamic_slice_in_dim(mean_d, h, buf.capacity)
     keep = _global_outlier_keep(buf, mean_d, std_ratio, axis_name)
     return buf.with_mask(keep)
 
 
-def _sharded_fused_neighborhood(buf, settings, params, axis_name):
+def _sharded_fused_neighborhood(buf, settings, params, axis_name, halo):
     """Sharded analog of the pipeline's fused neighborhood stage: ONE
     shared window sweep per shard feeds both the statistical-outlier filter
     (psum-exact global threshold) and normal estimation — same fusion the
     single-chip production path uses (models/pipeline.py), same documented
-    semantic (normals computed on the pre-outlier-filter cloud)."""
+    semantic (normals computed on the pre-outlier-filter cloud). The sweep
+    runs over the halo-extended slab (``_halo_exchange``)."""
     from ..ops.window import fused_neighborhood_stats
 
     kw = _window_kwargs(settings)
+    pos, msk, h = _halo_exchange(buf.positions, buf.mask, axis_name, halo)
     mean_d, normals, _count = fused_neighborhood_stats(
-        buf.positions,
-        buf.mask,
+        pos,
+        msk,
         k=settings.nb_neighbors,
         radius=params.search_radius,
         window_blocks=kw["window_blocks"],
@@ -195,10 +232,62 @@ def _sharded_fused_neighborhood(buf, settings, params, axis_name):
         backend=kw["window_backend"],
         kmode=settings.knn_kmode,
     )
+    mean_d = jax.lax.dynamic_slice_in_dim(mean_d, h, buf.capacity)
+    normals = jax.lax.dynamic_slice_in_dim(normals, h, buf.capacity, axis=-1)
     keep = _global_outlier_keep(buf, mean_d, params.std_ratio, axis_name)
     attrs = dict(buf.attributes)
     attrs["normals"] = normals.astype(jnp.float32)
     return ScanBuffer(positions=buf.positions, mask=keep, attributes=attrs)
+
+
+def _sharded_radius_outliers(buf, settings, params, axis_name, halo, method):
+    """Radius-outlier removal with halo-extended window counts."""
+    from ..ops.window import window_normal_stats
+
+    if method == "exact":
+        kw = _window_kwargs(settings)
+        return ops.remove_radius_outliers(
+            buf, params.radius_nb_points, params.radius_search_radius,
+            method="exact", **kw,
+        )
+    kw = _window_kwargs(settings)
+    pos, msk, h = _halo_exchange(buf.positions, buf.mask, axis_name, halo)
+    _entries, count = window_normal_stats(
+        pos, msk, params.radius_search_radius,
+        backend=kw["window_backend"], window_blocks=kw["window_blocks"],
+        passes=kw["passes"],
+    )
+    count = jax.lax.dynamic_slice_in_dim(count, h, buf.capacity)
+    keep = count >= jnp.asarray(params.radius_nb_points, count.dtype)
+    return buf.with_mask(keep)
+
+
+def _sharded_normals(buf, settings, params, axis_name, halo, method):
+    """Normal estimation with halo-extended window covariances."""
+    from ..ops.normals import _normals_from_entries
+    from ..ops.window import window_normal_stats
+
+    kw = _window_kwargs(settings)
+    if method == "exact":
+        return ops.estimate_normals(
+            buf, params.search_radius, settings.max_neighbors,
+            method="exact", **kw,
+        )
+    pos, msk, h = _halo_exchange(buf.positions, buf.mask, axis_name, halo)
+    entries, count = window_normal_stats(
+        pos, msk, params.search_radius,
+        backend=kw["window_backend"], window_blocks=kw["window_blocks"],
+        passes=kw["passes"],
+    )
+    entries = jax.lax.dynamic_slice_in_dim(entries, h, buf.capacity, axis=-1)
+    count = jax.lax.dynamic_slice_in_dim(count, h, buf.capacity)
+    normals = _normals_from_entries(
+        entries[0], entries[1], entries[2], entries[3], entries[4],
+        entries[5], count,
+    )
+    attrs = dict(buf.attributes)
+    attrs["normals"] = normals.astype(jnp.float32)
+    return buf.replace(attributes=attrs)
 
 
 def _sharded_ground(
@@ -274,10 +363,18 @@ def _sharded_ground(
 # sharded pipeline
 # ---------------------------------------------------------------------------
 
-def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
+def make_local_run(
+    settings: PipelineSettings, axis_name: str = "point", halo: int = 512
+):
     """Per-shard pipeline body (runs inside shard_map; uses ``axis_name``
     collectives for the globally-exact stages). Exposed for composition —
-    e.g. wrapping in vmap for a scan-batch mesh axis."""
+    e.g. wrapping in vmap for a scan-batch mesh axis.
+
+    ``halo``: curve-edge columns borrowed from each neighboring shard for
+    the window-kNN stages (``_halo_exchange``; 0 disables). Must be a
+    multiple of 128 for the Pallas window path's alignment."""
+    if halo % 128 != 0:
+        raise ValueError(f"halo must be a multiple of 128, got {halo}")
 
     fuse_dedup = (
         settings.remove_duplicates
@@ -358,20 +455,20 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
             and settings.knn_method != "exact"
         )
         if fuse:
-            buf = _sharded_fused_neighborhood(buf, settings, params, axis_name)
+            buf = _sharded_fused_neighborhood(
+                buf, settings, params, axis_name, halo
+            )
         elif settings.remove_statistical_outliers:
-            buf = _sharded_outliers(buf, settings, params.std_ratio, axis_name)
+            buf = _sharded_outliers(
+                buf, settings, params.std_ratio, axis_name, halo
+            )
         if settings.remove_radius_outliers:
-            kw = _window_kwargs(settings)
-            buf = ops.remove_radius_outliers(
-                buf, params.radius_nb_points, params.radius_search_radius,
-                method=method, **kw,
-            )  # local counts; shard-boundary neighborhoods approximate
+            buf = _sharded_radius_outliers(
+                buf, settings, params, axis_name, halo, method
+            )
         if settings.estimate_normals and not fuse:
-            kw = _window_kwargs(settings)
-            buf = ops.estimate_normals(
-                buf, params.search_radius, settings.max_neighbors,
-                method=method, **kw,
+            buf = _sharded_normals(
+                buf, settings, params, axis_name, halo, method
             )
         if settings.remove_ground:
             if settings.ground_method == "height":
@@ -395,13 +492,15 @@ def make_local_run(settings: PipelineSettings, axis_name: str = "point"):
 
 @functools.lru_cache(maxsize=32)
 def build_sharded_pipeline(
-    settings: PipelineSettings, mesh: Mesh, axis_name: str = "point"
+    settings: PipelineSettings, mesh: Mesh, axis_name: str = "point",
+    halo: int = 512,
 ):
     """jit-compiled shard_map pipeline over ``mesh``.
 
     Same stage order/semantics as models/pipeline.build_pipeline, with the
     cross-shard stages swapped in. Inputs must be sharded with
-    ``shard_buffer`` (capacity divisible by the mesh size).
+    ``shard_buffer`` (capacity divisible by the mesh size). ``halo`` is
+    the ICI halo width for window-kNN stages (see ``_halo_exchange``).
     """
     cap = settings.post_downsample_capacity
     if cap > 0:
@@ -424,7 +523,7 @@ def build_sharded_pipeline(
                 f"per shard, making the effective global cap {eff}",
                 stacklevel=2,
             )
-    local_run = make_local_run(settings, axis_name)
+    local_run = make_local_run(settings, axis_name, halo)
 
     def run(buf: ScanBuffer, params: PipelineParams, key: jax.Array):
         specs = buffer_pspecs(buf, axis_name)

@@ -103,6 +103,7 @@ PARAMETER_DEFAULTS = [
     ("downsample.num_samples", 4096),
     ("downsample.max_points", 0),
     ("remove_ground.method", "ransac"),
+    ("remove_ground.before_neighborhood", False),
     ("estimate_normals", True),
     ("estimate_normals.search_radius", 0.1),
     ("estimate_normals.max_neighbors", 30),
@@ -142,7 +143,7 @@ _ENGINE_KEYS = {
     "downsample_method", "downsample.sampling_ratio",
     "downsample.every_k_points", "downsample.num_samples",
     "downsample.max_points",
-    "remove_ground.method",
+    "remove_ground.method", "remove_ground.before_neighborhood",
     "estimate_normals", "estimate_normals.search_radius",
     "estimate_normals.max_neighbors",
     "remove_ground", "remove_ground.distance_threshold",
@@ -657,7 +658,7 @@ class PointcloudPreprocessorNode:
                           "remove_radius_outliers.search_radius",
                           "downsample_method", "downsample.sampling_ratio",
                           "downsample.every_k_points", "downsample.num_samples",
-                          "remove_ground.method",
+                          "remove_ground.method", "remove_ground.before_neighborhood",
                           "estimate_normals.search_radius",
                           "estimate_normals.max_neighbors",
                           "remove_ground", "remove_ground.distance_threshold",

@@ -213,6 +213,72 @@ def config5_pcap_streaming(reps):
         {"x_realtime_10hz": round(len(blobs) / 10.0 / wall, 1)},
     )
 
+    # DEVICE-ONLY fused decode->pipeline->quantize: chained in-jit latency
+    # (the bench.py technique: K invocations through a scalar data
+    # dependency, (T(K)-T(1))/(K-1)). This is the number the ">10x
+    # real-time on a standard host" claim rests on — measured, not argued.
+    import dataclasses as _dc
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    payloads2, stamps2 = _read_payloads(path)
+    az0 = (
+        payloads2[:, 2].astype(np.int32)
+        | (payloads2[:, 3].astype(np.int32) << 8)
+    )
+    wraps = np.flatnonzero(np.diff(az0) < -18000) + 1
+    a, b = 0, int(wraps[0]) if len(wraps) else payloads2.shape[0]
+    pb = engine.packet_bucket
+    p = min(b - a, pb)
+    from autodriver_pointcloud_preprocessor_tpu.io.streaming import (
+        _split_packet_fields,
+    )
+
+    fields_pad = np.zeros((1176, pb), np.uint8)
+    fields_pad[:, :p] = _split_packet_fields(payloads2[a : a + p])
+    stamp_off = np.zeros(pb, np.float32)
+    stamp_off[:p] = (stamps2[a : a + p] - stamps2[a]).astype(np.float32)
+    full = engine._full_fn()
+    key0 = jax.random.PRNGKey(0)
+
+    @_ft.partial(jax.jit, static_argnames=("n_iter",))
+    def chain(fields, stamp, np_, params0, n_iter):
+        def body(i, acc):
+            params = _dc.replace(
+                params0, voxel_size=params0.voxel_size * (1.0 + acc * 1e-30)
+            )
+            pk, mt, _pl = full(
+                fields, stamp, np_, params, jax.random.fold_in(key0, i),
+                jnp.float32(1.0),
+            )
+            return acc + jnp.sum(mt) * 1e-30
+        import jax.lax as lax
+
+        return lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+    fj = jnp.asarray(fields_pad)
+    sj = jnp.asarray(stamp_off)
+    K = 32
+    t = {}
+    for n_iter in (1, K):
+        np.asarray(chain(fj, sj, jnp.int32(p), engine.params, n_iter))
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(chain(fj, sj, jnp.int32(p), engine.params, n_iter))
+            samples.append(time.perf_counter() - t0)
+        t[n_iter] = float(np.median(samples))
+    dev_ms = max((t[K] - t[1]) * 1e3 / (K - 1), 1e-3)
+    _emit(
+        "pcap streaming DEVICE-ONLY chained (decode+pipeline+quantize)",
+        dev_ms,
+        {"x_realtime_10hz_device": round(100.0 / dev_ms, 1),
+         "note": "pure device compute per revolution; the deployment bound "
+                 "when the host link is not the bottleneck"},
+    )
+
 
 def config6_merged_1m(reps):
     """1M-point merged multi-LiDAR cloud: full pipeline on one chip.

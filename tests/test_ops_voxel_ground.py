@@ -195,3 +195,52 @@ def test_voxel_nan_points_do_not_poison_segments(rng):
             i = np.asarray(out.attributes["intensity"])[m]
             assert np.isfinite(p).all(), (be, de)
             assert np.isfinite(i).all(), (be, de)
+
+
+def test_voxel_int_attrs_ride_sort_matching_gather(rng):
+    # narrow int attrs (ring u16, rgb u8 rows) take the segment-first value
+    # via the flag-masked run-sum channel; wide ints (u32) still gather.
+    # All three must agree with the "first row in sorted order" semantics
+    # and between backends.
+    pts = rng.uniform(-2, 2, (700, 3)).astype(np.float32)
+    ring = rng.integers(0, 60000, 700).astype(np.uint16)
+    rgb = rng.integers(0, 255, (3, 700)).astype(np.uint8)
+    wide = rng.integers(0, 2**31 - 1, 700).astype(np.uint32)
+    buf, _ = from_soa({"positions": pts, "ring": ring}, capacity=1024)
+    # attach multi-row + wide attrs directly (from_soa handles scalars)
+    from autodriver_pointcloud_preprocessor_tpu.core.scan import ScanBuffer
+    import jax.numpy as jnp
+
+    attrs = dict(buf.attributes)
+    attrs["rgb"] = jnp.zeros((3, 1024), jnp.uint8).at[:, :700].set(rgb)
+    attrs["wide"] = jnp.zeros((1024,), jnp.uint32).at[:700].set(wide)
+    buf = ScanBuffer(positions=buf.positions, mask=buf.mask, attributes=attrs)
+
+    out_x = voxel_downsample(buf, 0.5, backend="xla")
+    out_p = voxel_downsample(buf, 0.5, backend="pallas_interpret")
+    mask = np.asarray(out_x.mask)
+    assert (np.asarray(out_p.mask) == mask).all()
+    for name in ("ring", "rgb", "wide"):
+        vx = np.asarray(out_x.attributes[name])[..., mask]
+        vp = np.asarray(out_p.attributes[name])[..., mask]
+        np.testing.assert_array_equal(vx, vp)
+
+    # oracle: first (lowest original index) point of each voxel
+    keys = np.floor(pts / 0.5).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    first = np.full(uniq.shape[0], -1, np.int64)
+    for i in range(700):
+        if first[inv[i]] < 0:
+            first[inv[i]] = i
+    # map oracle voxels to output rows by position mean
+    vx_ring = np.asarray(out_x.attributes["ring"])[mask]
+    vx_wide = np.asarray(out_x.attributes["wide"])[mask]
+    pos_out = np.asarray(out_x.positions).T[mask]
+    sums = np.zeros((uniq.shape[0], 3)); counts = np.zeros(uniq.shape[0])
+    np.add.at(sums, inv, pts); np.add.at(counts, inv, 1)
+    centers = sums / counts[:, None]
+    d2 = ((centers[:, None, :] - pos_out[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert (d2.min(axis=1) < 1e-8).all()
+    np.testing.assert_array_equal(ring[first], vx_ring[match])
+    np.testing.assert_array_equal(wide[first], vx_wide[match])

@@ -302,3 +302,82 @@ def test_sharded_radius_outliers(rng):
     kept = np.asarray(out.positions)[:, np.asarray(out.mask)]
     assert kept.shape[1] > 1000  # the dense scene survives
     assert (kept[2] < 25.0).all()  # every isolated speck removed
+
+
+def test_sharded_window_path_full_pipeline(rng):
+    # VERDICT r2 item 2: the PRODUCTION window path (fused outlier+normal
+    # Hilbert-window sweep) under shard_map, with the ICI halo exchange.
+    # Survivor sets must closely overlap the single-device window pipeline.
+    pts = _scene(rng, 9000, 2200)
+    buf, _ = from_soa({"positions": pts}, capacity=16384)
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8,
+        estimate_normals=True, max_neighbors=8, knn_method="window",
+        remove_ground=True, num_iterations=64, ransac_n=3,
+    )
+    voxel = 0.12
+    params = PipelineParams.make(
+        voxel_size=voxel, distance_threshold=0.08, std_ratio=1.5,
+        search_radius=0.5,
+    )
+    key = jax.random.PRNGKey(0)
+
+    out_s, plane_s = build_pipeline(settings)(buf, params, key)
+    mesh = make_mesh()
+    out_m, plane_m = build_sharded_pipeline(settings, mesh)(
+        shard_buffer(buf, mesh), params, key
+    )
+
+    ps, pm = np.asarray(plane_s), np.asarray(plane_m)
+    assert abs(ps[2]) > 0.99 and abs(pm[2]) > 0.99
+    assert "normals" in out_m.attributes
+    nrm = np.asarray(out_m.attributes["normals"])
+    mask_m = np.asarray(out_m.mask)
+    lens = np.linalg.norm(nrm[:, mask_m], axis=0)
+    assert np.all(np.abs(lens - 1.0) < 1e-3)
+
+    surv_s = np.asarray(out_s.positions).T[np.asarray(out_s.mask)]
+    surv_m = np.asarray(out_m.positions).T[mask_m]
+    overlap = _survivor_overlap(surv_s, surv_m, tol=voxel / 2)
+    assert overlap >= 0.95, (overlap, len(surv_s), len(surv_m))
+
+
+def test_sharded_window_halo_improves_boundary_quality(rng):
+    # VERDICT r2 item 9, quantified: shard-local windows miss curve-
+    # boundary neighbors; the ppermute halo exchange must measurably close
+    # the gap to the single-device window classification. Uses the
+    # outlier-only stage so the keep-mask IS the kNN-mean classification.
+    import dataclasses
+
+    pts = _scene(rng, 12000, 3000)
+    buf, _ = from_soa({"positions": pts}, capacity=16384)
+    settings = PipelineSettings(
+        remove_duplicates=False, crop_to_roi=False, voxel_downsample=False,
+        estimate_normals=False, remove_statistical_outliers=True,
+        nb_neighbors=8, knn_method="window",
+    )
+    params = PipelineParams.make(std_ratio=1.0)
+    key = jax.random.PRNGKey(0)
+    out_single, _ = build_pipeline(settings)(buf, params, key)
+
+    mesh = make_mesh()
+    sb = shard_buffer(buf, mesh)
+    agree = {}
+    for halo in (0, 512):
+        from autodriver_pointcloud_preprocessor_tpu.parallel.sharding import (
+            build_sharded_pipeline as bsp,
+        )
+
+        out_h, _ = bsp(settings, mesh, "point", halo)(sb, params, key)
+        # compare classifications on the SAME (spatially sorted) frame:
+        # single-device mask must be re-derived in that frame
+        from autodriver_pointcloud_preprocessor_tpu.parallel.sharding import (
+            spatial_sort,
+        )
+
+        ref, _ = build_pipeline(settings)(spatial_sort(buf), params, key)
+        m_ref, m_h = np.asarray(ref.mask), np.asarray(out_h.mask)
+        live = np.asarray(spatial_sort(buf).mask)
+        agree[halo] = (m_ref == m_h)[live].mean()
+    assert agree[512] >= agree[0]
+    assert agree[512] >= 0.96, agree

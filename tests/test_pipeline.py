@@ -338,3 +338,67 @@ def test_preprocessor_batch_with_radius_outliers(rng):
         m = np.asarray(o.mask)[:910]
         assert m[900:].sum() == 0  # isolated specks removed in every scan
         assert m[:900].mean() > 0.95
+
+
+def test_ground_before_neighborhood_survivor_parity(rng):
+    # the ground-first performance ordering must produce (near-)identical
+    # survivor sets to reference order — ground points die either way, and
+    # the outlier threshold shifts only marginally (PipelineSettings
+    # docstring). Also checks the deferred capacity shrink engages and
+    # attributes (incl. int ring) survive the in-sort shrink.
+    import dataclasses
+
+    pts = _scene(rng, 7000, 1800)
+    buf, _ = from_soa(
+        {"positions": pts, "ring": rng.integers(0, 16, len(pts)).astype(np.uint16)},
+        capacity=16384,
+    )
+    base = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8,
+        estimate_normals=True, max_neighbors=8, remove_ground=True,
+        ransac_n=3, num_iterations=64, knn_method="window",
+    )
+    params = PipelineParams.make(
+        voxel_size=0.1, distance_threshold=0.1, std_ratio=1.5,
+        search_radius=0.4,
+    )
+    key = jax.random.PRNGKey(0)
+    out_ref, plane_ref = build_pipeline(base)(buf, params, key)
+    gf = dataclasses.replace(
+        base, ground_before_neighborhood=True, post_downsample_capacity=4096
+    )
+    out_gf, plane_gf = build_pipeline(gf)(buf, params, key)
+
+    assert out_gf.capacity == 4096  # shrink engaged
+    assert abs(np.asarray(plane_gf)[2]) > 0.99
+    assert "normals" in out_gf.attributes
+    assert out_gf.attributes["ring"].shape == (4096,)
+
+    a = np.asarray(out_ref.positions).T[np.asarray(out_ref.mask)]
+    b = np.asarray(out_gf.positions).T[np.asarray(out_gf.mask)]
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    fwd = (d2.min(axis=1) < 1e-8).mean()
+    bwd = (d2.min(axis=0) < 1e-8).mean()
+    # the documented semantic shift: outlier mean/std are computed over the
+    # non-ground cloud only, so the threshold tightens on object-dense
+    # scenes and some borderline points flip (here ~5% fwd). Everything
+    # ground-first keeps must also survive reference order (bwd ~ 1).
+    assert fwd >= 0.93, (fwd, bwd)
+    assert bwd >= 0.97, (fwd, bwd)
+
+
+def test_ground_before_neighborhood_stage_order():
+    import dataclasses
+
+    s = PipelineSettings(
+        remove_statistical_outliers=True, estimate_normals=True,
+        remove_ground=True, knn_method="window",
+        ground_before_neighborhood=True, post_downsample_capacity=1024,
+    )
+    names = [n for n, _ in stage_functions(s)]
+    assert names.index("ground") < names.index("neighborhood")
+    assert "shrink" not in names  # folded into the neighborhood sort
+    # unfused variant pays an explicit shrink stage after ground
+    s2 = dataclasses.replace(s, fuse_neighborhood=False)
+    names2 = [n for n, _ in stage_functions(s2)]
+    assert names2.index("ground") < names2.index("shrink") < names2.index("outliers")
