@@ -354,10 +354,13 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
     if ground_first:
         stages.append(("ground", make_ground_stage()))
 
+    # the fused sweep pays off whenever statistical outliers share it with
+    # at least one more window consumer — normals OR radius outliers (the
+    # kernel computes moments and the in-radius2 count in the same pass)
     fuse = (
         settings.fuse_neighborhood
         and settings.remove_statistical_outliers
-        and settings.estimate_normals
+        and (settings.estimate_normals or settings.remove_radius_outliers)
         and settings.knn_method != "exact"
     )
 
@@ -427,7 +430,8 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                 keep = keep & (
                     out[6] >= jnp.asarray(p.radius_nb_points, out[6].dtype)
                 )
-            attrs["normals"] = normals
+            if settings.estimate_normals:
+                attrs["normals"] = normals
             return ScanBuffer(
                 positions=pos, mask=keep, attributes=attrs
             ), None

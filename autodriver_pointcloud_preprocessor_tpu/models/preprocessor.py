@@ -142,11 +142,18 @@ class Preprocessor:
 
         return resolve
 
-    def process_batch(self, bufs):
-        """Process a list of same-capacity ScanBuffers as ONE vmapped program.
+    def process_batch(self, bufs, sequential: bool = False):
+        """Process a list of same-capacity ScanBuffers as ONE program.
 
-        Multi-stream deployments (one buffer per LiDAR) amortize dispatch
-        and let XLA batch every stage; RANSAC keys differ per scan.
+        ``sequential=False`` (default): vmapped — every stage batches
+        across scans; best for SMALL scans where dispatch overhead
+        dominates. ``sequential=True``: ``lax.map`` — scans run one after
+        another inside a single dispatch; best for LARGE scans (one 128k
+        scan already saturates the core, and independent dispatches cost
+        ~2.3 ms each of queue overhead on this backend — the sequential
+        batch sustains chained-latency throughput, measured 3.68 ->
+        1.39 ms/scan at B=8; PERF_NOTES.md round 3). Adds B-1 scans of
+        latency either way. RANSAC keys differ per scan.
         Returns (list of ScanBuffers, planes float32[B, 4]).
         """
         if not bufs:
@@ -158,7 +165,11 @@ class Preprocessor:
             jax.random.fold_in(self._key, self._frame), len(bufs)
         )
         self._frame += 1
-        fn = _batched_pipeline(self.settings)
+        fn = (
+            _seq_batched_pipeline(self.settings)
+            if sequential
+            else _batched_pipeline(self.settings)
+        )
         start = get_current_time(monotonic=True)
         out, planes = fn(stacked, self.params, keys)
         self.processing_times["preprocessing_time"] = get_time_difference(
@@ -213,6 +224,19 @@ def _batched_pipeline(settings: PipelineSettings):
     # the Pallas window kernel batches natively under vmap (custom_vmap
     # routes the batch onto a kernel grid dimension, ops/pallas_window.py)
     return jax.jit(jax.vmap(pipeline_runner(settings), in_axes=(0, None, 0)))
+
+
+@functools.lru_cache(maxsize=64)
+def _seq_batched_pipeline(settings: PipelineSettings):
+    from ..models.pipeline import pipeline_runner
+
+    runner = pipeline_runner(settings)
+
+    def fn(stacked, params, keys):
+        return jax.lax.map(lambda bk: runner(bk[0], params, bk[1]),
+                           (stacked, keys))
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=256)

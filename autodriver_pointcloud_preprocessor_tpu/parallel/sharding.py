@@ -445,9 +445,11 @@ def make_local_run(
         # window sweep for outliers+normals when both are enabled on the
         # window path (models/pipeline.py `fuse` condition)
         method = _resolve_knn_method(settings, buf.capacity, axis_name)
-        # same static condition as models/pipeline.py: the fused sweep runs
-        # the window path whenever knn_method is not explicitly 'exact'
-        # (matching single-chip, where 'auto' also fuses)
+        # like models/pipeline.py, the fused sweep runs the window path
+        # whenever knn_method is not explicitly 'exact' ('auto' also
+        # fuses). Narrower than single-chip: the sharded path does NOT
+        # fold radius outliers into the sweep (radius runs separately with
+        # its own halo exchange below), so fusion requires normals here.
         fuse = (
             settings.fuse_neighborhood
             and settings.remove_statistical_outliers

@@ -257,3 +257,34 @@ def test_window_quality_floor_ring_structured_scan():
     cw = mw <= mw.mean() + mw.std()
     agree = (ce == cw).mean()
     assert agree > 0.97, agree
+
+
+def test_radius_outlier_window_quality_floor():
+    # VERDICT r2 item 10: quality floor for the RADIUS-outlier window path
+    # (in-radius counts, window_normal_stats count channel / kernel row 12).
+    # Measured: 100% classification agreement and 99.95% mean count recall
+    # vs an exact KD-tree oracle at the 2-pass default on the bench scene.
+    from scipy.spatial import cKDTree
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        window_normal_stats,
+    )
+    import bench as B
+
+    pts = B._scene(8000)
+    pts = pts[np.isfinite(pts).all(1)]
+    buf, _ = from_soa({"positions": pts}, capacity=8192)
+    radius, nb = 0.35, 8
+    exact = np.array(
+        cKDTree(pts).query_ball_point(pts, radius, return_length=True)
+    )
+    _e, cnt = window_normal_stats(
+        buf.positions, buf.mask, radius, window_blocks=1, passes=2,
+        backend="xla",
+    )
+    cw = np.asarray(cnt)[np.asarray(buf.mask)][: len(pts)]
+    agree = ((cw >= nb) == (exact >= nb)).mean()
+    assert agree > 0.99, agree
+    recall = np.minimum(cw / np.maximum(exact, 1), 1).mean()
+    assert recall > 0.98, recall

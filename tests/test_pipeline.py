@@ -402,3 +402,24 @@ def test_ground_before_neighborhood_stage_order():
     s2 = dataclasses.replace(s, fuse_neighborhood=False)
     names2 = [n for n, _ in stage_functions(s2)]
     assert names2.index("ground") < names2.index("shrink") < names2.index("outliers")
+
+
+def test_preprocessor_batch_sequential(rng):
+    # sequential (lax.map) batch mode: one dispatch, scans run back-to-back
+    # — the large-scan deployment throughput mode (PERF_NOTES.md round 3)
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+
+    engine = Preprocessor(
+        {"voxel_size": 0.1, "estimate_normals": True,
+         "estimate_normals.max_neighbors": 8, "knn_method": "exact"}
+    )
+    bufs = [
+        from_soa({"positions": _scene(rng, 800, 200)}, capacity=2048)[0]
+        for _ in range(3)
+    ]
+    outs, planes = engine.process_batch(bufs, sequential=True)
+    assert len(outs) == 3 and planes.shape == (3, 4)
+    outs_v, _ = engine.process_batch(bufs, sequential=False)
+    for a, b in zip(outs, outs_v):
+        assert int(valid_count(a)) == int(valid_count(b))
+        assert "normals" in a.attributes
