@@ -21,7 +21,10 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-__all__ = ["VelodynePcapReader", "decode_packets", "VLP16", "HDL32E"]
+__all__ = [
+    "VelodynePcapReader", "VelodyneUdpSource", "decode_packets",
+    "VLP16", "HDL32E",
+]
 
 _PORT = 2368
 _PAYLOAD = 1206
@@ -281,3 +284,103 @@ class VelodynePcapReader:
             if b - a == 0:
                 continue
             yield {k: v[a:b] for k, v in flat.items()}
+
+
+class VelodyneUdpSource:
+    """LIVE UDP packet source: sensor datagrams -> per-revolution scans.
+
+    Completes the reference's declared live-replay capability (its
+    pcap_player/loader docstrings imply a live source beyond file replay;
+    pointcloud_loader.py:1-5) — the file reader above covers captures,
+    this covers the sensor itself. Binds the Velodyne data port, splits
+    revolutions on block-0 azimuth rollover by peeking 2 bytes per packet
+    (the same split io/streaming.py uses), and yields either raw
+    ``(payloads, stamps)`` revolutions (feed ``StreamingEngine``) or
+    decoded SoA scans. Packet timestamps are host receipt times.
+
+    Iteration ends on ``max_scans`` or when no packet arrives within
+    ``timeout`` seconds (sensor gone quiet).
+    """
+
+    def __init__(
+        self,
+        host: str = "0.0.0.0",
+        port: int = _PORT,
+        model: str = VLP16,
+        min_range: float = 0.4,
+        max_range: float = 130.0,
+        timeout: float = 2.0,
+        max_packets_per_rev: int = 2048,
+    ):
+        import socket
+
+        self.model = model
+        self.min_range = min_range
+        self.max_range = max_range
+        self.timeout = timeout
+        self.max_packets_per_rev = max_packets_per_rev
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+        self._sock.bind((host, port))
+        self._sock.settimeout(timeout)
+
+    @property
+    def port(self) -> int:
+        """The bound port (useful when constructed with port=0)."""
+        return self._sock.getsockname()[1]
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def revolutions(self, max_scans: Optional[int] = None):
+        """Yield raw ``(payloads uint8[P,1206], stamps float64[P])`` per
+        revolution until ``max_scans`` or receive timeout."""
+        import socket
+        import time as _time
+
+        buf_payloads = []
+        buf_stamps = []
+        last_az = None
+        yielded = 0
+        while max_scans is None or yielded < max_scans:
+            try:
+                data = self._sock.recv(65535)
+            except socket.timeout:
+                break
+            if len(data) != _PAYLOAD:
+                continue  # position/telemetry packets etc.
+            az0 = data[2] | (data[3] << 8)
+            if (
+                last_az is not None
+                and az0 < last_az - 18000
+                and buf_payloads
+            ) or len(buf_payloads) >= self.max_packets_per_rev:
+                yield (
+                    np.frombuffer(
+                        b"".join(buf_payloads), dtype=np.uint8
+                    ).reshape(-1, _PAYLOAD),
+                    np.asarray(buf_stamps, dtype=np.float64),
+                )
+                yielded += 1
+                buf_payloads, buf_stamps = [], []
+            buf_payloads.append(data)
+            buf_stamps.append(_time.time())
+            last_az = az0
+        if buf_payloads and (max_scans is None or yielded < max_scans):
+            yield (
+                np.frombuffer(
+                    b"".join(buf_payloads), dtype=np.uint8
+                ).reshape(-1, _PAYLOAD),
+                np.asarray(buf_stamps, dtype=np.float64),
+            )
+
+    def scans(
+        self, max_scans: Optional[int] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield one decoded SoA dict per live revolution."""
+        for payloads, stamps in self.revolutions(max_scans):
+            soa = decode_packets(
+                payloads, stamps, self.model, self.min_range, self.max_range
+            )
+            soa.pop("block_azimuth", None)
+            yield soa

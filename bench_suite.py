@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import struct
 import sys
 import time
@@ -168,7 +169,9 @@ def config5_pcap_streaming(reps):
     come down. A second line reports the float-SoA node path for contrast
     (it is host-link-bound on this sandbox's ~20 MB/s tunnel).
     """
-    sys.path.insert(0, "tests")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    )
     from test_pcap_compressor import _write_pcap
 
     from autodriver_pointcloud_preprocessor_tpu.io.pcap import _read_payloads
