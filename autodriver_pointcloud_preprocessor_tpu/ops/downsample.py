@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.scan import ScanBuffer, valid_count
-from .compact import compaction_order
 
 __all__ = [
     "random_downsample",
@@ -57,8 +56,9 @@ def farthest_point_downsample(
     live = buf.mask
     count = valid_count(buf)
 
-    # start from the first live point (deterministic; Open3D starts at 0)
-    start = compaction_order(buf.mask)[0]
+    # start from the first live point (deterministic; Open3D starts at 0).
+    # argmax of a bool mask IS the first-True index — no argsort needed.
+    start = jnp.argmax(buf.mask).astype(jnp.int32)
 
     inf = jnp.float32(jnp.inf)
     init_d = jnp.where(live, inf, -inf)  # dead points never get selected

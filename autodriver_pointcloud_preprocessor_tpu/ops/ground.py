@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.scan import ScanBuffer, valid_count
-from .compact import compaction_order
 from .linalg import smallest_eigvec_entries as _smallest_eigvec_entries
 
 __all__ = ["segment_plane", "remove_ground"]
@@ -89,15 +88,23 @@ def segment_plane(
     del probability
     x, yy, zz = buf.x, buf.y, buf.z
     count = valid_count(buf)
-    order = compaction_order(buf.mask)  # live points first
 
-    # Sample with replacement among the live prefix. (Open3D samples without
+    # Sample with replacement among the live points. (Open3D samples without
     # replacement; with 10^4-10^5 live points the collision probability per
     # hypothesis is negligible and a degenerate draw simply scores 0 votes.)
     u = jax.random.uniform(key, (num_iterations, ransac_n))
     safe_count = jnp.maximum(count, 1)
     draw = jnp.minimum((u * safe_count).astype(jnp.int32), safe_count - 1)
-    sample_idx = order[draw]  # [H, n] indices into the buffer
+    # Index of the (draw+1)-th live point WITHOUT a full compaction argsort:
+    # cumsum(mask) is monotone, so searchsorted finds the same index the
+    # stable live-first permutation would (bit-identical samples, ~10x
+    # cheaper than argsort at 131k — this stage was 0.97 ms of the round-3
+    # headline, dominated by the sort).
+    csum = jnp.cumsum(buf.mask.astype(jnp.int32))
+    sample_idx = jnp.minimum(
+        jnp.searchsorted(csum, draw + 1, side="left").astype(jnp.int32),
+        buf.capacity - 1,
+    )  # [H, n] indices into the buffer
     normals, ds = _fit_planes_batched(
         x[sample_idx], yy[sample_idx], zz[sample_idx]
     )
@@ -111,7 +118,14 @@ def segment_plane(
 
     # Terminal refinement: least-squares refit on the winning inliers,
     # then recompute the inlier set (Open3D does the same final polish).
-    best_inliers = (dist[:, best] <= thresh) & buf.mask
+    # The winner's distances are RE-derived as one [N] pass (bit-identical
+    # elementwise ops) instead of dist[:, best]: with the [N, H] matrix
+    # consumed only by the vote reduction, XLA streams it without ever
+    # materializing ~52 MB in HBM.
+    bnx, bny, bnz = normals[0][best], normals[1][best], normals[2][best]
+    bd = ds[best]
+    best_dist = jnp.abs(x * bnx + yy * bny + zz * bnz + bd)
+    best_inliers = (best_dist <= thresh) & buf.mask
     w = best_inliers.astype(x.dtype)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     cx = jnp.sum(x * w) / wsum
@@ -136,7 +150,7 @@ def segment_plane(
     plane = jnp.where(
         use_refined,
         jnp.stack([nx, ny, nz, d_ref]),
-        jnp.stack([normals[0][best], normals[1][best], normals[2][best], ds[best]]),
+        jnp.stack([bnx, bny, bnz, bd]),
     )
     inlier_mask = jnp.where(use_refined, inlier_mask, best_inliers)
     return plane, inlier_mask

@@ -34,7 +34,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.scan import ScanBuffer
 from ..models.pipeline import PipelineParams, PipelineSettings
 from .. import ops
-from ..ops.compact import compaction_order
 from ..ops.ground import _fit_planes_batched
 from ..ops.linalg import smallest_eigvec_entries as _smallest_eigvec_entries
 from ..ops.window import window_mean_knn_dist
@@ -300,12 +299,18 @@ def _sharded_ground(
 
     x, y, z = buf.x, buf.y, buf.z
     count = jnp.sum(buf.mask.astype(jnp.int32))
-    order = compaction_order(buf.mask)
     key = jax.random.fold_in(key, shard_id)
     u = jax.random.uniform(key, (h_local, ransac_n))
     safe = jnp.maximum(count, 1)
     draw = jnp.minimum((u * safe).astype(jnp.int32), safe - 1)
-    idx = order[draw]
+    # (draw+1)-th live index via cumsum/searchsorted — same index the
+    # live-first stable permutation would give, without a full argsort
+    # (matches ops/ground.py:segment_plane).
+    csum = jnp.cumsum(buf.mask.astype(jnp.int32))
+    idx = jnp.minimum(
+        jnp.searchsorted(csum, draw + 1, side="left").astype(jnp.int32),
+        buf.capacity - 1,
+    )
     normals, ds = _fit_planes_batched(x[idx], y[idx], z[idx])  # [3,hl],[hl]
 
     # gather every shard's hypotheses (tiny: 4 floats each)
@@ -326,7 +331,11 @@ def _sharded_ground(
     votes = jax.lax.psum(votes_local, axis_name)  # identical on all shards
     best = jnp.argmax(votes)
 
-    best_in = (dist[:, best] <= thresh) & buf.mask
+    # Re-derive the winner's distances as one [N] pass (bit-identical
+    # elementwise ops) so the [N, H] vote matrix never has to live in HBM.
+    bnx, bny, bnz, bd = nx[best], ny[best], nz[best], d[best]
+    best_dist = jnp.abs(x * bnx + y * bny + z * bnz + bd)
+    best_in = (best_dist <= thresh) & buf.mask
     w = best_in.astype(jnp.float32)
 
     # exact global least-squares refit from psum-ed moments
@@ -353,7 +362,7 @@ def _sharded_ground(
     plane = jnp.where(
         use_refined,
         jnp.stack([rnx, rny, rnz, rd]),
-        jnp.stack([nx[best], ny[best], nz[best], d[best]]),
+        jnp.stack([bnx, bny, bnz, bd]),
     )
     inliers = jnp.where(use_refined, inliers, best_in)
     return buf.with_mask(jnp.logical_not(inliers)), plane
