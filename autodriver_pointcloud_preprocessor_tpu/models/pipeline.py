@@ -284,6 +284,17 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                 return b, p.ground_plane
 
         else:
+            # ground-first runs directly on the voxel stage's output,
+            # which is front-compacted (segment s lands in slot s, both
+            # backends) — the RANSAC sampler can then index draws
+            # directly instead of rank-lookup through a mask cumsum
+            # (~0.25 ms at 131k; bit-identical samples either way).
+            live_prefix = (
+                ground_first
+                and settings.voxel_downsample
+                and settings.downsample_method == "voxel"
+            )
+
             def ground(b, p, k):
                 b, plane = ops.remove_ground(
                     b,
@@ -291,6 +302,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                     p.distance_threshold,
                     settings.ransac_n,
                     settings.num_iterations,
+                    live_prefix=live_prefix,
                 )
                 return b, plane
 

@@ -72,6 +72,7 @@ def segment_plane(
     ransac_n: int = 5,
     num_iterations: int = 100,
     probability: float = 0.99,  # advisory; see module docstring
+    live_prefix: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Find the dominant plane among live points.
 
@@ -81,6 +82,13 @@ def segment_plane(
         distance_threshold: inlier distance (traced; no recompile on change).
         ransac_n: points per hypothesis (static).
         num_iterations: hypothesis count (static; all run as one batch).
+        live_prefix: static promise that live points occupy slots
+            [0, count) (e.g. the front-compacted output of
+            ``voxel_downsample``). Skips the cumsum/searchsorted rank
+            lookup — the draw IS the buffer index. Sample indices are
+            bit-identical to the general path on genuinely compacted
+            input; on non-compacted input the promise is WRONG (dead
+            slots get sampled and score ~0 votes).
     Returns:
         (plane float32[4] = [nx, ny, nz, d] with unit normal,
          inlier_mask bool[capacity] over live points).
@@ -95,16 +103,20 @@ def segment_plane(
     u = jax.random.uniform(key, (num_iterations, ransac_n))
     safe_count = jnp.maximum(count, 1)
     draw = jnp.minimum((u * safe_count).astype(jnp.int32), safe_count - 1)
-    # Index of the (draw+1)-th live point WITHOUT a full compaction argsort:
-    # cumsum(mask) is monotone, so searchsorted finds the same index the
-    # stable live-first permutation would (bit-identical samples, ~10x
-    # cheaper than argsort at 131k — this stage was 0.97 ms of the round-3
-    # headline, dominated by the sort).
-    csum = jnp.cumsum(buf.mask.astype(jnp.int32))
-    sample_idx = jnp.minimum(
-        jnp.searchsorted(csum, draw + 1, side="left").astype(jnp.int32),
-        buf.capacity - 1,
-    )  # [H, n] indices into the buffer
+    if live_prefix:
+        # compacted input: the (draw+1)-th live point sits at slot `draw`
+        sample_idx = draw
+    else:
+        # Index of the (draw+1)-th live point WITHOUT a full compaction
+        # argsort: cumsum(mask) is monotone, so searchsorted finds the
+        # same index the stable live-first permutation would
+        # (bit-identical samples, and ~10x cheaper than argsort at 131k —
+        # the argsort made this stage 0.97 ms of the round-3 headline).
+        csum = jnp.cumsum(buf.mask.astype(jnp.int32))
+        sample_idx = jnp.minimum(
+            jnp.searchsorted(csum, draw + 1, side="left").astype(jnp.int32),
+            buf.capacity - 1,
+        )  # [H, n] indices into the buffer
     normals, ds = _fit_planes_batched(
         x[sample_idx], yy[sample_idx], zz[sample_idx]
     )
@@ -163,13 +175,16 @@ def remove_ground(
     ransac_n: int = 5,
     num_iterations: int = 100,
     probability: float = 0.99,
+    live_prefix: bool = False,
 ) -> Tuple[ScanBuffer, jax.Array]:
     """Mask out the dominant plane's inliers (keep the complement).
 
     Matches the node semantics at reference pointcloud_preprocessor.py:542
     (``select_by_index(inliers, invert=True)``). Returns (buffer, plane).
+    ``live_prefix``: see ``segment_plane``.
     """
     plane, inliers = segment_plane(
-        buf, key, distance_threshold, ransac_n, num_iterations, probability
+        buf, key, distance_threshold, ransac_n, num_iterations, probability,
+        live_prefix=live_prefix,
     )
     return buf.with_mask(jnp.logical_not(inliers)), plane

@@ -244,3 +244,32 @@ def test_voxel_int_attrs_ride_sort_matching_gather(rng):
     assert (d2.min(axis=1) < 1e-8).all()
     np.testing.assert_array_equal(ring[first], vx_ring[match])
     np.testing.assert_array_equal(wide[first], vx_wide[match])
+
+
+def test_voxel_output_is_front_compacted(rng):
+    """Survivors occupy slots [0, count) — the live_prefix contract the
+    ground-first RANSAC sampler relies on (models/pipeline.py)."""
+    pts = rng.uniform(-5, 5, (700, 3)).astype(np.float32)
+    pts[::13] = np.nan  # invalid returns
+    pts[5:50] = pts[4]  # duplicates
+    for backend in ("xla", "pallas_interpret"):
+        for dedup in (False, True):
+            buf, _ = _buf(pts)
+            buf = buf.with_mask(buf.mask & jnp.isfinite(buf.positions).all(0))
+            out = voxel_downsample(buf, 0.5, backend=backend, dedup_exact=dedup)
+            mask = np.asarray(out.mask)
+            count = int(mask.sum())
+            assert mask[:count].all() and not mask[count:].any(), (
+                backend, dedup)
+
+
+def test_segment_plane_live_prefix_matches_general(rng):
+    """On genuinely compacted input, live_prefix=True must reproduce the
+    general rank-lookup path bit-for-bit (same draws -> same plane)."""
+    pts, _ = _ground_scene(rng)
+    buf, _ = _buf(pts)  # from_soa output is compacted by construction
+    key = jax.random.PRNGKey(3)
+    p1, m1 = segment_plane(buf, key, 0.1, 3, 64)
+    p2, m2 = segment_plane(buf, key, 0.1, 3, 64, live_prefix=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
