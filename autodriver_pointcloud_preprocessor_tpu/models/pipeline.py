@@ -87,6 +87,26 @@ class PipelineSettings:
     #: near the outlier threshold can flip; RANSAC samples the pre-outlier
     #: cloud). Default False preserves reference order.
     ground_before_neighborhood: bool = False
+    #: PERFORMANCE ordering mode, one step further than
+    #: ground_before_neighborhood: run ground RANSAC on the raw
+    #: (post-crop, PRE-voxel) cloud. Ground scoring is elementwise and
+    #: order-independent, so moving it before the voxel sort lets the
+    #: voxel stage emit its output simultaneously compacted, ground-free
+    #: and (with voxel_curve_order) curve-ordered — the neighborhood's
+    #: pass-0 curve sort and the capacity-shrink sort both collapse into
+    #: a static prefix slice (~0.35 ms at 131k). Semantic difference vs
+    #: ground_before_neighborhood: the plane is fit to the raw cloud
+    #: (MORE ground samples — equal-or-better fit; inlier masking happens
+    #: pre-voxel so ground points never consume voxel segments). Implies
+    #: the ground_before_neighborhood semantics for the downstream
+    #: stages. Ignored unless remove_ground and ground_method='ransac'.
+    ground_before_voxel: bool = False
+    #: emit the voxel stage's output in Hilbert-curve order (primary
+    #: hilbert key over the voxel cells; grouping unchanged — see
+    #: ops/voxel.py). Enables the presorted fast path of the fused
+    #: neighborhood when nothing between voxel and neighborhood reorders
+    #: or punches holes in the compacted prefix.
+    voxel_curve_order: bool = True
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
@@ -270,10 +290,17 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             )
         )
 
-    # ground-first performance ordering (see PipelineSettings docstring):
-    # ground runs right after voxel; the capacity shrink moves AFTER ground
-    # (fused into the neighborhood's first curve sort when possible)
-    ground_first = settings.ground_before_neighborhood and settings.remove_ground
+    # ground ordering modes (see PipelineSettings docstrings):
+    # ground_raw  — ground RANSAC on the raw post-crop cloud, BEFORE the
+    #               voxel sort (scoring is elementwise/order-independent);
+    # ground_first — ground right after voxel, before the neighborhood;
+    # default      — reference order (ground last).
+    ground_raw = settings.ground_before_voxel and settings.remove_ground
+    ground_first = (
+        not ground_raw
+        and settings.ground_before_neighborhood
+        and settings.remove_ground
+    )
 
     def make_ground_stage():
         if settings.ground_method == "height":
@@ -308,6 +335,33 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
 
         return ground
 
+    if ground_raw:
+        stages.append(("ground", make_ground_stage()))
+
+    # the fused sweep pays off whenever statistical outliers share it with
+    # at least one more window consumer — normals OR radius outliers (the
+    # kernel computes moments and the in-radius2 count in the same pass)
+    fuse = (
+        settings.fuse_neighborhood
+        and settings.remove_statistical_outliers
+        and (settings.estimate_normals or settings.remove_radius_outliers)
+        and settings.knn_method != "exact"
+    )
+
+    # presorted fast path: the curve-ordered voxel sort's output is
+    # front-compacted AND in pass-0 curve order, and nothing between the
+    # voxel stage and the fused neighborhood reorders it or punches
+    # holes in the prefix (ground_first would) — the neighborhood's
+    # pass-0 sort and the shrink both become a static prefix slice
+    # (ops/window.py presorted mode).
+    presorted = (
+        fuse
+        and settings.voxel_curve_order
+        and settings.voxel_downsample
+        and settings.downsample_method == "voxel"
+        and not ground_first
+    )
+
     if settings.voxel_downsample:
         method = settings.downsample_method
         vb = "auto" if settings.pallas_ok else "xla"
@@ -315,7 +369,8 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             stages.append(
                 ("voxel", lambda b, p, k: (
                     ops.voxel_downsample(
-                        b, p.voxel_size, backend=vb, dedup_exact=fuse_dedup
+                        b, p.voxel_size, backend=vb, dedup_exact=fuse_dedup,
+                        curve_order=settings.voxel_curve_order,
                     ),
                     None,
                 ))
@@ -338,7 +393,11 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
         else:
             raise ValueError(f"unknown downsample_method {method!r}")
 
-        if settings.post_downsample_capacity > 0 and not ground_first:
+        if (
+            settings.post_downsample_capacity > 0
+            and not ground_first
+            and not presorted  # deferred into the prefix slice instead
+        ):
             cap = settings.post_downsample_capacity  # 512-aligned (__post_init__)
 
             def shrink(b, p, k):
@@ -366,22 +425,14 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
     if ground_first:
         stages.append(("ground", make_ground_stage()))
 
-    # the fused sweep pays off whenever statistical outliers share it with
-    # at least one more window consumer — normals OR radius outliers (the
-    # kernel computes moments and the in-radius2 count in the same pass)
-    fuse = (
-        settings.fuse_neighborhood
-        and settings.remove_statistical_outliers
-        and (settings.estimate_normals or settings.remove_radius_outliers)
-        and settings.knn_method != "exact"
-    )
-
-    # capacity shrink deferred past the early ground stage: fold it into
-    # the fused neighborhood's first curve sort (free); the unfused path
-    # pays one subsample_to sort instead
+    # capacity shrink deferred past the early ground stage (or, in
+    # presorted mode, all the way into the prefix slice): fold it into
+    # the fused neighborhood's first curve sort / slice (free); the
+    # unfused path pays one subsample_to sort instead
     deferred_cap = (
         settings.post_downsample_capacity
-        if ground_first and settings.post_downsample_capacity > 0
+        if (ground_first or presorted)
+        and settings.post_downsample_capacity > 0
         else 0
     )
     if deferred_cap and not fuse:
@@ -431,6 +482,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                 ),
                 radius2=(p.radius_search_radius if fuse_radius else None),
                 d2mode=settings.knn_d2mode,
+                presorted=presorted,
             )
             pos, valid, attrs, mean_d, normals, _count = out[:6]
             # global outlier threshold (reference :514-519 semantics)
@@ -508,7 +560,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
             )
         )
 
-    if settings.remove_ground and not ground_first:
+    if settings.remove_ground and not ground_first and not ground_raw:
         stages.append(("ground", make_ground_stage()))
 
     return stages

@@ -33,6 +33,7 @@ def voxel_downsample(
     voxel_size: jax.Array | float,
     backend: str = "auto",
     dedup_exact: bool = False,
+    curve_order: bool = False,
 ) -> ScanBuffer:
     """Average live points within each cubic voxel of edge ``voxel_size``.
 
@@ -55,6 +56,21 @@ def voxel_downsample(
     fusion: the segment's first row in (voxel, coordinate-bits) order —
     deterministic; the reference's Open3D kernel averages integer attrs,
     which is already documented as not replicated.
+
+    ``curve_order=True`` prepends a Hilbert code of the (center-shifted,
+    clipped-to-1024^3) voxel cell as the PRIMARY sort key, so the
+    compacted output comes back in space-filling-curve order — exactly
+    the order the fused window-kNN stage's pass-0 sort would produce at
+    voxel granularity, letting the pipeline skip that whole ~0.33 ms
+    131k curve sort (ops/window.py presorted mode). The exact voxel
+    indices remain secondary keys, so GROUPING is identical to
+    ``curve_order=False`` (same voxels, same member rows — clipping far-
+    field voxels beyond 1024 cells from the scan center onto the box
+    faces only degrades curve locality there, never correctness); means
+    agree to f32 rounding (segment slot offsets shift the reduction's
+    partial-sum grouping by ~1 ulp). Output ORDER differs (curve vs
+    x-major voxel-key order); the pipeline has no order contract after
+    this stage.
     """
     n = buf.capacity
     valid = buf.mask
@@ -90,6 +106,24 @@ def voxel_downsample(
             gather_attrs.append(name)
 
     idx = jnp.arange(n, dtype=jnp.int32)
+    if curve_order:
+        # Hilbert code of the voxel cell, center-shifted into the
+        # 1024^3 curve box and clipped at its faces. Same-voxel rows get
+        # the same code (grouping preserved by the exact secondary
+        # keys); invalid rows get the sentinel (sort last). Cell size ==
+        # voxel size, i.e. one point per cell post-voxel — full curve
+        # resolution for the downstream window stage at any scene scale.
+        from .window import hilbert_cell_codes
+
+        cells = []
+        for v in (vx, vy, vz):
+            lo = jnp.min(jnp.where(valid, v, big))
+            hi = jnp.max(jnp.where(valid, v, -big))
+            center = lo + (hi - lo) // 2
+            cells.append(jnp.clip(v - center + 512, 0, 1023))
+        hkey = (hilbert_cell_codes(cells, valid),)
+    else:
+        hkey = ()
     if dedup_exact:
         from .dedup import _coordinate_keys
 
@@ -99,10 +133,11 @@ def voxel_downsample(
         # zeroed below) — no separate x/y/z payload rows needed: 8 sort
         # rows instead of 11
         sorted_ops = jax.lax.sort(
-            (vx, vy, vz, kx, ky, kz, valid, idx, *float_rows),
-            num_keys=6,
+            (*hkey, vx, vy, vz, kx, ky, kz, valid, idx, *float_rows),
+            num_keys=6 + len(hkey),
             is_stable=True,
         )
+        sorted_ops = sorted_ops[len(hkey):]
         sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
         skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
         px = jax.lax.bitcast_convert_type(skx, jnp.float32)
@@ -112,10 +147,11 @@ def voxel_downsample(
         sorted_attr_rows = sorted_ops[8:]
     else:
         sorted_ops = jax.lax.sort(
-            (vx, vy, vz, x, y, z, valid, idx, *float_rows),
-            num_keys=3,
+            (*hkey, vx, vy, vz, x, y, z, valid, idx, *float_rows),
+            num_keys=3 + len(hkey),
             is_stable=True,
         )
+        sorted_ops = sorted_ops[len(hkey):]
         sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
         px, py, pz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
         svalid, sidx = sorted_ops[6], sorted_ops[7]

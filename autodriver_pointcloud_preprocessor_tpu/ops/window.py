@@ -39,6 +39,7 @@ __all__ = [
     "fused_neighborhood_stats",
     "fused_neighborhood_stats_reordered",
     "hilbert_codes",
+    "hilbert_cell_codes",
     "morton_codes",
     "window_mean_knn_dist",
     "window_normal_stats",
@@ -95,15 +96,16 @@ def morton_codes(
     return jnp.where(mask, code, jnp.int32(0x7FFFFFFF))
 
 
-def hilbert_codes(
-    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0
-) -> jax.Array:
-    """30-bit Hilbert-curve index per point, invalid rows pushed last.
+def hilbert_cell_codes(cells, mask: jax.Array) -> jax.Array:
+    """30-bit Hilbert index from integer cells, invalid rows pushed last.
 
-    Skilling's transpose algorithm, fully unrolled and branch-free over
-    [N] int32 rows (data-dependent branches become ``where`` selects).
+    ``cells``: three int32 [N] rows in [0, 1023] (callers quantize —
+    from float positions via ``_quantize_axes``, or from voxel indices
+    for the curve-ordered voxel sort, ops/voxel.py). Skilling's
+    transpose algorithm, fully unrolled and branch-free over [N] int32
+    rows (data-dependent branches become ``where`` selects).
     """
-    X = _quantize_axes(positions, mask, origin_shift)
+    X = list(cells)
 
     # --- Skilling: coordinates -> transposed Hilbert index ---
     M = 1 << (_BITS - 1)
@@ -141,6 +143,15 @@ def hilbert_codes(
         | _spread_bits_10(X[2])
     )
     return jnp.where(mask, code, jnp.int32(0x7FFFFFFF))
+
+
+def hilbert_codes(
+    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0
+) -> jax.Array:
+    """30-bit Hilbert-curve index per point, invalid rows pushed last."""
+    return hilbert_cell_codes(
+        _quantize_axes(positions, mask, origin_shift), mask
+    )
 
 
 def _window(blocks: jax.Array, num_rolls: int) -> jax.Array:
@@ -269,7 +280,7 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
 
 def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
                   passes, interp, kmode, shrink_to=0, radius2=None,
-                  d2mode="highest"):
+                  d2mode="highest", presorted=False):
     """Shared sort-chained multi-pass core of the fused neighborhood ops.
 
     Runs ``passes`` curve passes through the Pallas kernel, chaining each
@@ -312,25 +323,56 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         return mean_s, mom_s[0], ns[0], ns[1], ns[2], cnt2_s
 
     n = positions.shape[-1]
-    if shrink_to and shrink_to < n:
-        n_live = jnp.sum(mask.astype(jnp.int32))
+
+    def _thin_sort_slice(px, py, pz, m, cr):
+        """Binomial pre-thin (on overflow) + pass-0 curve sort + static
+        prefix slice to ``shrink_to`` (see docstring)."""
+        n_live = jnp.sum(m.astype(jnp.int32))
         slot = jnp.arange(n, dtype=jnp.int32)
         pri = (slot * jnp.int32(-1640531527)).astype(jnp.uint32)
         p = jnp.float32(shrink_to) / jnp.maximum(
             n_live.astype(jnp.float32), 1.0
         )
         keep = pri.astype(jnp.float32) < p * jnp.float32(2.0**32)
-        mask = mask & ((n_live <= shrink_to) | keep)
-
-    sx, sy, sz, sv, _idx, *carry = _sorted_rows(
-        positions, mask, 0, extra=tuple(carry)
-    )
-    if shrink_to and shrink_to < n:
-        sx, sy, sz, sv = (
-            sx[:shrink_to], sy[:shrink_to], sz[:shrink_to], sv[:shrink_to]
+        m = m & ((n_live <= shrink_to) | keep)
+        ax, ay, az, av, _i, *acr = _sorted_rows(
+            jnp.stack([px, py, pz]), m, 0, extra=tuple(cr)
         )
-        _idx = _idx[:shrink_to]
-        carry = [c[:shrink_to] for c in carry]
+        return (
+            ax[:shrink_to], ay[:shrink_to], az[:shrink_to], av[:shrink_to],
+            *[c[:shrink_to] for c in acr],
+        )
+
+    if presorted:
+        # Caller promises: live points front-compacted AND already in a
+        # pass-0-quality curve order (the curve-ordered voxel sort,
+        # ops/voxel.py). The pass-0 sort is then pure waste — a static
+        # prefix slice implements the shrink, except in the (rare,
+        # deployment-sized-bucket) overflow case where the unbiased
+        # binomial thin punches holes in the prefix, so the compacting
+        # sort path runs under a lax.cond (compiled, almost never taken).
+        if shrink_to and shrink_to < n:
+            n_live = jnp.sum(mask.astype(jnp.int32))
+            sx, sy, sz, sv, *carry = jax.lax.cond(
+                n_live > shrink_to,
+                lambda a: _thin_sort_slice(a[0], a[1], a[2], a[3], a[4:]),
+                lambda a: (
+                    a[0][:shrink_to], a[1][:shrink_to], a[2][:shrink_to],
+                    a[3][:shrink_to], *[c[:shrink_to] for c in a[4:]],
+                ),
+                (positions[0], positions[1], positions[2], mask, *carry),
+            )
+        else:
+            sx, sy, sz, sv = positions[0], positions[1], positions[2], mask
+            carry = list(carry)
+    elif shrink_to and shrink_to < n:
+        sx, sy, sz, sv, *carry = _thin_sort_slice(
+            positions[0], positions[1], positions[2], mask, carry
+        )
+    else:
+        sx, sy, sz, sv, _idx, *carry = _sorted_rows(
+            positions, mask, 0, extra=tuple(carry)
+        )
     mean, count, nx, ny, nz, cnt2 = one_pass(sx, sy, sz, sv, 0)
     for p_i in range(1, passes):
         stat_rows = (mean, count, nx, ny, nz) + ((cnt2,) if use_r2 else ())
@@ -429,9 +471,17 @@ def fused_neighborhood_stats_reordered(
     shrink_to: int = 0,
     radius2=None,
     d2mode: str = "highest",
+    presorted: bool = False,
 ):
     """`fused_neighborhood_stats` that REORDERS the buffer instead of
     unsorting the stats.
+
+    ``presorted=True`` (pallas path): caller promises the input is
+    front-compacted AND in curve order (the ``curve_order`` voxel sort)
+    — the pass-0 sort is skipped and the shrink becomes a static prefix
+    slice (overflow falls back to the sorting path under a lax.cond).
+    Ignored on the XLA fallback, which computes stats in input order
+    anyway.
 
     Post-voxel the pipeline has no point-order contract (the voxel stage
     already reordered to voxel-key order; egress compacts by mask), so
@@ -491,6 +541,7 @@ def fused_neighborhood_stats_reordered(
         window_blocks=window_blocks, passes=passes,
         interp=(backend == "pallas_interpret"), kmode=kmode,
         shrink_to=shrink_to, radius2=radius2, d2mode=d2mode,
+        presorted=presorted,
     )
 
     out_attrs = {}

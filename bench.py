@@ -95,16 +95,21 @@ def main() -> None:
         ransac_n=3,
         num_iterations=100,
         knn_method="window",
-        # Round-3 production ordering (VERDICT r2 item 1a): ground RANSAC
-        # runs right after the voxel stage, and the capacity shrink to
-        # 51200 folds into the neighborhood's first curve sort. Every
-        # stage is still enabled and produces real output; the documented
-        # semantic difference vs reference stage order is that outlier
-        # stats/normals are computed on the non-ground cloud (survivor
-        # overlap vs reference order 95-99.7%, PERF_NOTES.md). The bucket
-        # has headroom over the ~46.5k non-ground survivors, so the
-        # shrink drops nothing (asserted below via survivors).
-        ground_before_neighborhood=True,
+        # Round-3 production ordering (VERDICT r2 item 1a, then one step
+        # further): ground RANSAC runs on the raw post-crop cloud
+        # (elementwise scoring is order-independent), the voxel sort
+        # emits its output curve-ordered + compacted + ground-free, and
+        # the neighborhood's pass-0 sort AND the capacity shrink to
+        # 51200 collapse into a static prefix slice (presorted mode,
+        # ops/window.py). Every stage is still enabled and produces real
+        # output; the documented semantic difference vs reference stage
+        # order is that outlier stats/normals are computed on the
+        # non-ground cloud (survivor overlap vs reference order
+        # 95-99.7%, PERF_NOTES.md; pre- vs post-voxel ground parity
+        # >95% jaccard, tests/test_pipeline.py). The bucket has headroom
+        # over the ~46.5k non-ground survivors, so the shrink drops
+        # nothing (asserted below via survivors).
+        ground_before_voxel=True,
         post_downsample_capacity=51_200,
     )
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)

@@ -288,3 +288,75 @@ def test_radius_outlier_window_quality_floor():
     assert agree > 0.99, agree
     recall = np.minimum(cw / np.maximum(exact, 1), 1).mean()
     assert recall > 0.98, recall
+
+
+def test_fused_presorted_matches_sorted_on_curve_ordered_input(rng):
+    # presorted mode (the curve-ordered-voxel fast path,
+    # models/pipeline.py) skips the pass-0 sort; on input that IS
+    # curve-ordered and front-compacted its pass-0 windows come from the
+    # voxel-cell hilbert order instead of the position-quantized one —
+    # slightly different window membership, so assert statistical
+    # agreement plus exact mechanics (shrink slice, attribute transport).
+    import jax.numpy as jnp
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops import voxel_downsample
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+
+    n = 4096
+    pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    buf, _ = from_soa(
+        {"positions": pts,
+         "ring": rng.integers(0, 16, n).astype(np.uint16)},
+        capacity=n,
+    )
+    vox = voxel_downsample(buf, 0.35, backend="xla", curve_order=True)
+    live = int(np.asarray(vox.mask).sum())
+    assert live > 2048  # shrink below will actually slice
+
+    outs = {}
+    for presorted in (False, True):
+        out = fused_neighborhood_stats_reordered(
+            vox.positions, vox.mask, dict(vox.attributes), k=8, radius=0.8,
+            window_blocks=1, passes=2, backend="pallas_interpret",
+            shrink_to=0, presorted=presorted,
+        )
+        pos_r, m_r, attrs_r, mean_r = out[0], out[1], out[2], out[3]
+        m = np.asarray(m_r)
+        P = np.asarray(pos_r).T[m]
+        order = np.lexsort(P.T)
+        outs[presorted] = (
+            P[order],
+            np.asarray(mean_r)[m][order],
+            np.asarray(attrs_r["ring"])[m][order],
+        )
+    # same live-point set, attributes transported identically
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=0)
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
+    # kNN means agree closely for nearly all points (window membership
+    # differs only where the two curve orders cut blocks differently)
+    rel = np.abs(outs[0][1] - outs[1][1]) / np.maximum(outs[0][1], 1e-6)
+    assert (rel < 0.05).mean() > 0.9, (rel < 0.05).mean()
+
+    # shrink: no-overflow prefix slice keeps every live point
+    cap = 2560  # multiple of 128, > live/2... ensure >= live? choose below
+    cap = ((live + 127) // 128) * 128
+    out = fused_neighborhood_stats_reordered(
+        vox.positions, vox.mask, dict(vox.attributes), k=8, radius=0.8,
+        window_blocks=1, passes=2, backend="pallas_interpret",
+        shrink_to=cap, presorted=True,
+    )
+    assert out[0].shape[-1] == cap
+    assert int(np.asarray(out[1]).sum()) == live
+
+    # overflow: the cond fallback thins to ~cap without bias
+    cap_small = 1280
+    out = fused_neighborhood_stats_reordered(
+        vox.positions, vox.mask, dict(vox.attributes), k=8, radius=0.8,
+        window_blocks=1, passes=2, backend="pallas_interpret",
+        shrink_to=cap_small, presorted=True,
+    )
+    kept = int(np.asarray(out[1]).sum())
+    assert 0.7 * cap_small < kept <= cap_small

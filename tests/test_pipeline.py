@@ -423,3 +423,58 @@ def test_preprocessor_batch_sequential(rng):
     for a, b in zip(outs, outs_v):
         assert int(valid_count(a)) == int(valid_count(b))
         assert "normals" in a.attributes
+
+
+def test_ground_before_voxel_survivor_parity(rng):
+    # pre-voxel ground ordering (+ curve-ordered voxel + presorted fused
+    # neighborhood) must match the post-voxel ground-first ordering's
+    # survivor set almost exactly: the plane is fit to the raw cloud
+    # instead of the voxel centroids but lands on the same ground.
+    import dataclasses
+
+    pts = _scene(rng, 7000, 1800)
+    buf, _ = from_soa(
+        {"positions": pts, "ring": rng.integers(0, 16, len(pts)).astype(np.uint16)},
+        capacity=16384,
+    )
+    base = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8,
+        estimate_normals=True, max_neighbors=8, remove_ground=True,
+        ransac_n=3, num_iterations=64, knn_method="window",
+        ground_before_neighborhood=True, post_downsample_capacity=4096,
+    )
+    params = PipelineParams.make(
+        voxel_size=0.1, distance_threshold=0.1, std_ratio=1.5,
+        search_radius=0.4,
+    )
+    key = jax.random.PRNGKey(0)
+    out_gf, _ = build_pipeline(base)(buf, params, key)
+    gv = dataclasses.replace(base, ground_before_voxel=True)
+    out_gv, plane_gv = build_pipeline(gv)(buf, params, key)
+
+    assert out_gv.capacity == 4096  # deferred shrink engaged
+    assert abs(np.asarray(plane_gv)[2]) > 0.99
+    assert "normals" in out_gv.attributes
+    assert out_gv.attributes["ring"].shape == (4096,)
+
+    a = np.asarray(out_gf.positions).T[np.asarray(out_gf.mask)]
+    b = np.asarray(out_gv.positions).T[np.asarray(out_gv.mask)]
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    fwd = (d2.min(axis=1) < 1e-8).mean()
+    bwd = (d2.min(axis=0) < 1e-8).mean()
+    assert fwd >= 0.95, (fwd, bwd)
+    assert bwd >= 0.95, (fwd, bwd)
+
+
+def test_ground_before_voxel_stage_order():
+    s = PipelineSettings(
+        remove_statistical_outliers=True, estimate_normals=True,
+        remove_ground=True, knn_method="window",
+        ground_before_voxel=True, post_downsample_capacity=1024,
+    )
+    names = [n for n, _ in stage_functions(s)]
+    assert names.index("ground") < names.index("voxel") < names.index(
+        "neighborhood"
+    )
+    assert names.count("ground") == 1
+    assert "shrink" not in names  # folded into the presorted prefix slice
