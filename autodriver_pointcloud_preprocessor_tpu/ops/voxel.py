@@ -105,7 +105,10 @@ def voxel_downsample(
         else:
             gather_attrs.append(name)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
+    # index channel only when a wide-int attribute needs the gather
+    # fallback; validity is derived from the sort keys post-sort — every
+    # dropped channel saves ~0.02-0.03 ms at 131k (PERF_NOTES.md).
+    idx_rows = (jnp.arange(n, dtype=jnp.int32),) if gather_attrs else ()
     if curve_order:
         # Hilbert code of the voxel cell, center-shifted into the
         # 1024^3 curve box and clipped at its faces. Same-voxel rows get
@@ -133,29 +136,38 @@ def voxel_downsample(
         # zeroed below) — no separate x/y/z payload rows needed: 8 sort
         # rows instead of 11
         sorted_ops = jax.lax.sort(
-            (*hkey, vx, vy, vz, kx, ky, kz, valid, idx, *float_rows),
+            (*hkey, vx, vy, vz, kx, ky, kz, *idx_rows, *float_rows),
             num_keys=6 + len(hkey),
             is_stable=True,
         )
+        sh = sorted_ops[0] if curve_order else None
         sorted_ops = sorted_ops[len(hkey):]
         sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
         skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
         px = jax.lax.bitcast_convert_type(skx, jnp.float32)
         py = jax.lax.bitcast_convert_type(sky, jnp.float32)
         pz = jax.lax.bitcast_convert_type(skz, jnp.float32)
-        svalid, sidx = sorted_ops[6], sorted_ops[7]
-        sorted_attr_rows = sorted_ops[8:]
+        rest = sorted_ops[6:]
     else:
         sorted_ops = jax.lax.sort(
-            (*hkey, vx, vy, vz, x, y, z, valid, idx, *float_rows),
+            (*hkey, vx, vy, vz, x, y, z, *idx_rows, *float_rows),
             num_keys=3 + len(hkey),
             is_stable=True,
         )
+        sh = sorted_ops[0] if curve_order else None
         sorted_ops = sorted_ops[len(hkey):]
         sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
         px, py, pz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
-        svalid, sidx = sorted_ops[6], sorted_ops[7]
-        sorted_attr_rows = sorted_ops[8:]
+        rest = sorted_ops[6:]
+    # validity derived from the sort keys: invalid rows carry the int
+    # sentinel (hilbert 0x7FFFFFFF / voxel-index `big`; a valid point
+    # only reaches `big` on quantization overflow, where results are
+    # already undefined)
+    svalid = (sh < jnp.int32(0x7FFFFFFF)) if curve_order else (sx < big)
+    if gather_attrs:
+        sidx, sorted_attr_rows = rest[0], list(rest[1:])
+    else:
+        sidx, sorted_attr_rows = None, list(rest)
 
     new_group = jnp.ones(n, dtype=bool)
     same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])

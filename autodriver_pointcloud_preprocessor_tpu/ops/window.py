@@ -216,27 +216,34 @@ def default_backend() -> str:
         return "xla"
 
 
-def _sorted_rows(positions, mask, pass_idx, extra=()):
+def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True):
     """Curve-sort x/y/z/valid (+extra rows) via ONE variadic lax.sort.
 
     Gather-free: the sort carries every payload row alongside the key
     (payload [N] gathers cost ~1 ms each on this backend, the variadic
     sort ~0.3 ms total — PERF_NOTES.md). Returns the sorted rows plus the
-    original index row for sort-back.
+    original index row for sort-back; ``with_idx=False`` drops that row
+    (every sort channel costs ~0.02 ms at 131k) for callers that never
+    unsort (the reordering fused path). The validity row is derived from
+    the key (invalid rows carry the hilbert sentinel) instead of being
+    carried.
     """
-    n = positions.shape[-1]
     perm = _PASS_PERMS[pass_idx % len(_PASS_PERMS)]
     permuted = jnp.stack(
         [positions[perm[0]], positions[perm[1]], positions[perm[2]]]
     )
     codes = hilbert_codes(permuted, mask, _pass_shift(pass_idx))
-    idx = jnp.arange(n, dtype=jnp.int32)
+    if with_idx:
+        idx_rows = (jnp.arange(positions.shape[-1], dtype=jnp.int32),)
+    else:
+        idx_rows = ()
     out = jax.lax.sort(
-        (codes, positions[0], positions[1], positions[2], mask, idx, *extra),
+        (codes, positions[0], positions[1], positions[2], *idx_rows, *extra),
         num_keys=1,
         is_stable=True,
     )
-    return out[1:]  # sx, sy, sz, sv, sidx, *extra_sorted
+    sv = out[0] < jnp.int32(0x7FFFFFFF)  # key sentinel == invalid
+    return (*out[1:4], sv, *out[4:])  # sx, sy, sz, sv[, sidx], *extra
 
 
 def _unsort(sidx, rows):
@@ -335,8 +342,8 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         )
         keep = pri.astype(jnp.float32) < p * jnp.float32(2.0**32)
         m = m & ((n_live <= shrink_to) | keep)
-        ax, ay, az, av, _i, *acr = _sorted_rows(
-            jnp.stack([px, py, pz]), m, 0, extra=tuple(cr)
+        ax, ay, az, av, *acr = _sorted_rows(
+            jnp.stack([px, py, pz]), m, 0, extra=tuple(cr), with_idx=False
         )
         return (
             ax[:shrink_to], ay[:shrink_to], az[:shrink_to], av[:shrink_to],
@@ -370,15 +377,15 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             positions[0], positions[1], positions[2], mask, carry
         )
     else:
-        sx, sy, sz, sv, _idx, *carry = _sorted_rows(
-            positions, mask, 0, extra=tuple(carry)
+        sx, sy, sz, sv, *carry = _sorted_rows(
+            positions, mask, 0, extra=tuple(carry), with_idx=False
         )
     mean, count, nx, ny, nz, cnt2 = one_pass(sx, sy, sz, sv, 0)
     for p_i in range(1, passes):
         stat_rows = (mean, count, nx, ny, nz) + ((cnt2,) if use_r2 else ())
-        sx, sy, sz, sv, _idx, *rest = _sorted_rows(
+        sx, sy, sz, sv, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
-            extra=(*carry, *stat_rows),
+            extra=(*carry, *stat_rows), with_idx=False,
         )
         ns = len(stat_rows)
         carry, stat_rows = rest[:-ns], rest[-ns:]
