@@ -28,12 +28,25 @@ from ..core.scan import ScanBuffer
 __all__ = ["voxel_downsample"]
 
 
+def _mix3(kx: jax.Array, ky: jax.Array, kz: jax.Array) -> jax.Array:
+    """32-bit avalanche mix of three uint32 rows (murmur3-style finalizer
+    constants). Used as the compact dedup-adjacency key: equal coords ->
+    equal hash always; distinct coords collide with p ~ 2^-32."""
+    h = kx * jnp.uint32(0x9E3779B1)
+    h = (h ^ (h >> 16)) + ky * jnp.uint32(0x85EBCA77)
+    h = (h ^ (h >> 13)) + kz * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x27D4EB2F)
+    return h ^ (h >> 15)
+
+
 def voxel_downsample(
     buf: ScanBuffer,
     voxel_size: jax.Array | float,
     backend: str = "auto",
     dedup_exact: bool = False,
     curve_order: bool = False,
+    compact_keys: bool = False,
 ) -> ScanBuffer:
     """Average live points within each cubic voxel of edge ``voxel_size``.
 
@@ -71,6 +84,23 @@ def voxel_downsample(
     partial-sum grouping by ~1 ulp). Output ORDER differs (curve vs
     x-major voxel-key order); the pipeline has no order contract after
     this stage.
+
+    ``compact_keys=True`` (requires ``curve_order``; caller promises the
+    live points span at most 1024 voxels per axis, e.g. ROI-cropped
+    input with roi_span <= 1024 * voxel_size): drops the exact voxel /
+    coordinate-bit secondary keys — the hilbert key alone identifies the
+    voxel (it is bijective inside the box), and dedup adjacency rides a
+    single 32-bit avalanche hash of the coordinate bits instead of three
+    exact key rows. Cuts the dominant sort from 7 keys + 2 rows to 2
+    keys + 5 rows (~0.15 ms at 131k). Caveats: out-of-box voxels WOULD
+    be mis-merged (the in-box promise is on the caller — the node
+    auto-enables this only when the crop ROI fits, runtime/node.py); a
+    duplicate-detection hash collision mis-drops a point with
+    probability ~2^-32 per same-voxel coordinate pair (~1e-5 per 131k
+    scan; below sensor noise); and first-of-segment integer attributes
+    pick the hash-order first row instead of the coordinate-bit-order
+    first row (a different deterministic member of the same segment —
+    same divergence class as fused vs unfused dedup, above).
     """
     n = buf.capacity
     valid = buf.mask
@@ -127,27 +157,54 @@ def voxel_downsample(
         hkey = (hilbert_cell_codes(cells, valid),)
     else:
         hkey = ()
+    if compact_keys and not curve_order:
+        raise ValueError("compact_keys requires curve_order")
+    shc = None
     if dedup_exact:
         from .dedup import _coordinate_keys
 
         kx, ky, kz = _coordinate_keys(buf.positions, valid)
-        # the bit-exact key rows ARE the positions (canonicalized -0.0 ->
-        # +0.0, value-equal; invalid rows become the NaN sentinel and are
-        # zeroed below) — no separate x/y/z payload rows needed: 8 sort
-        # rows instead of 11
+        if compact_keys:
+            # single avalanche hash of the coordinate bits as the dedup
+            # adjacency key (dup iff same voxel-hilbert AND same hash;
+            # ~2^-32 false-positive per same-voxel pair, see docstring).
+            # Positions ride as payload since the bit keys are gone.
+            sorted_ops = jax.lax.sort(
+                (*hkey, _mix3(kx, ky, kz), x, y, z, *idx_rows, *float_rows),
+                num_keys=2,
+                is_stable=True,
+            )
+            sh, shc = sorted_ops[0], sorted_ops[1]
+            px, py, pz = sorted_ops[2], sorted_ops[3], sorted_ops[4]
+            rest = sorted_ops[5:]
+        else:
+            # the bit-exact key rows ARE the positions (canonicalized
+            # -0.0 -> +0.0, value-equal; invalid rows become the NaN
+            # sentinel and are zeroed below) — no separate x/y/z payload
+            # rows needed: 8 sort rows instead of 11
+            sorted_ops = jax.lax.sort(
+                (*hkey, vx, vy, vz, kx, ky, kz, *idx_rows, *float_rows),
+                num_keys=6 + len(hkey),
+                is_stable=True,
+            )
+            sh = sorted_ops[0] if curve_order else None
+            sorted_ops = sorted_ops[len(hkey):]
+            sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+            skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
+            px = jax.lax.bitcast_convert_type(skx, jnp.float32)
+            py = jax.lax.bitcast_convert_type(sky, jnp.float32)
+            pz = jax.lax.bitcast_convert_type(skz, jnp.float32)
+            rest = sorted_ops[6:]
+    elif compact_keys:
+        # the hilbert key alone is the voxel identity (bijective in-box)
         sorted_ops = jax.lax.sort(
-            (*hkey, vx, vy, vz, kx, ky, kz, *idx_rows, *float_rows),
-            num_keys=6 + len(hkey),
+            (*hkey, x, y, z, *idx_rows, *float_rows),
+            num_keys=1,
             is_stable=True,
         )
-        sh = sorted_ops[0] if curve_order else None
-        sorted_ops = sorted_ops[len(hkey):]
-        sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-        skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
-        px = jax.lax.bitcast_convert_type(skx, jnp.float32)
-        py = jax.lax.bitcast_convert_type(sky, jnp.float32)
-        pz = jax.lax.bitcast_convert_type(skz, jnp.float32)
-        rest = sorted_ops[6:]
+        sh = sorted_ops[0]
+        px, py, pz = sorted_ops[1], sorted_ops[2], sorted_ops[3]
+        rest = sorted_ops[4:]
     else:
         sorted_ops = jax.lax.sort(
             (*hkey, vx, vy, vz, x, y, z, *idx_rows, *float_rows),
@@ -170,7 +227,10 @@ def voxel_downsample(
         sidx, sorted_attr_rows = None, list(rest)
 
     new_group = jnp.ones(n, dtype=bool)
-    same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
+    if compact_keys:
+        same = sh[1:] == sh[:-1]  # hilbert key == voxel identity in-box
+    else:
+        same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
     new_group = new_group.at[1:].set(jnp.logical_not(same))
     new_group = new_group & svalid
     included = svalid
@@ -179,11 +239,14 @@ def voxel_downsample(
         # row (necessarily the same voxel). Exclude them from every segment
         # statistic — equivalent to deduping before voxelizing.
         dup = jnp.zeros(n, dtype=bool)
-        dup = dup.at[1:].set(
-            (skx[1:] == skx[:-1])
-            & (sky[1:] == sky[:-1])
-            & (skz[1:] == skz[:-1])
-        )
+        if compact_keys:
+            dup = dup.at[1:].set(same & (shc[1:] == shc[:-1]))
+        else:
+            dup = dup.at[1:].set(
+                (skx[1:] == skx[:-1])
+                & (sky[1:] == sky[:-1])
+                & (skz[1:] == skz[:-1])
+            )
         included = svalid & jnp.logical_not(dup)
     w = included.astype(jnp.float32)
 

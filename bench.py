@@ -110,6 +110,9 @@ def main() -> None:
         # over the ~46.5k non-ground survivors, so the shrink drops
         # nothing (asserted below via survivors).
         ground_before_voxel=True,
+        # safe here: the scene spans 80 m at voxel 0.08 = 1000 cells/axis
+        # (the node derives this from its crop ROI automatically)
+        voxel_compact_keys=True,
         post_downsample_capacity=51_200,
     )
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)

@@ -273,3 +273,79 @@ def test_segment_plane_live_prefix_matches_general(rng):
     p2, m2 = segment_plane(buf, key, 0.1, 3, 64, live_prefix=True)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_voxel_compact_keys_matches_exact(rng):
+    """compact_keys (hilbert==voxel identity + hashed dedup adjacency)
+    must reproduce the exact-key path on in-box input, duplicates and
+    invalid rows included."""
+    pts = rng.uniform(-5, 5, (900, 3)).astype(np.float32)
+    pts[40:90] = pts[39]  # duplicate run
+    pts[::23] = np.nan
+    buf0, _ = _buf(pts, intensity=rng.uniform(size=900).astype(np.float32),
+                   ring=rng.integers(0, 16, 900).astype(np.uint16))
+    buf0 = buf0.with_mask(buf0.mask & jnp.isfinite(buf0.positions).all(0))
+
+    def canon(b):
+        m = np.asarray(b.mask)
+        P = np.asarray(b.positions)[:, m]
+        order = np.lexsort(P)
+        att = {k: np.asarray(v)[..., m][..., order] for k, v in b.attributes.items()}
+        return P[:, order], att
+
+    for dedup in (False, True):
+        a = voxel_downsample(buf0, 0.5, backend="xla", dedup_exact=dedup,
+                             curve_order=True, compact_keys=False)
+        b = voxel_downsample(buf0, 0.5, backend="xla", dedup_exact=dedup,
+                             curve_order=True, compact_keys=True)
+        Pa, Aa = canon(a)
+        Pb, Ab = canon(b)
+        np.testing.assert_allclose(Pa, Pb, atol=2e-6)
+        # float attrs are segment means — identical
+        np.testing.assert_allclose(Aa["intensity"], Ab["intensity"], atol=1e-5)
+        # int attrs take the FIRST segment row, and "first" differs
+        # between the exact (coordinate-bit order) and compact (hash
+        # order) sorts — assert membership: the compact ring must be one
+        # of that voxel's input rings (same documented divergence class
+        # as the fused-vs-unfused dedup paths, ops/voxel.py docstring)
+        live = np.asarray(buf0.mask)
+        vox_in = np.floor(np.asarray(buf0.positions)[:, live] / 0.5).astype(int)
+        ring_in = np.asarray(buf0.attributes["ring"])[live]
+        members = {}
+        for (vx_, vy_, vz_), r in zip(vox_in.T, ring_in):
+            members.setdefault((vx_, vy_, vz_), set()).add(int(r))
+        vox_out = np.floor(Pb / 0.5).astype(int)
+        for (vx_, vy_, vz_), r in zip(vox_out.T, Ab["ring"]):
+            assert int(r) in members[(vx_, vy_, vz_)]
+        mb = np.asarray(b.mask)
+        cnt = int(mb.sum())
+        assert mb[:cnt].all() and not mb[cnt:].any()
+
+    import pytest
+    with pytest.raises(ValueError):
+        voxel_downsample(buf0, 0.5, curve_order=False, compact_keys=True)
+
+
+def test_settings_derive_compact_keys():
+    from autodriver_pointcloud_preprocessor_tpu.models import settings_from_config
+
+    # small ROI at default voxel -> safe
+    s = settings_from_config({"voxel_size": 0.1, "roi_min": (-40, -40, -5),
+                              "roi_max": (40, 40, 5)})
+    assert s.voxel_compact_keys
+    # ROI span exceeds 1008 cells -> off
+    s = settings_from_config({"voxel_size": 0.05, "roi_min": (-40, -40, -5),
+                              "roi_max": (40, 40, 5)})
+    assert not s.voxel_compact_keys
+    # inverted crop keeps the unbounded outside -> off
+    s = settings_from_config({"voxel_size": 0.1, "roi_min": (-40, -40, -5),
+                              "roi_max": (40, 40, 5),
+                              "crop_to_roi.invert": True})
+    assert not s.voxel_compact_keys
+    # no crop -> off ; explicit opt-out honored
+    s = settings_from_config({"voxel_size": 0.1, "crop_to_roi": False})
+    assert not s.voxel_compact_keys
+    s = settings_from_config({"voxel_size": 0.1, "roi_min": (-40, -40, -5),
+                              "roi_max": (40, 40, 5),
+                              "voxel_compact_keys": False})
+    assert not s.voxel_compact_keys
