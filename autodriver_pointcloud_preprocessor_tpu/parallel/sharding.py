@@ -147,7 +147,13 @@ def _global_outlier_keep(buf, mean_d, std_ratio, axis_name):
     n = jnp.maximum(s0, 1.0)
     mu = s1 / n
     var = jnp.maximum(s2 / n - mu * mu, 0.0)
-    return mean_d <= mu + jnp.asarray(std_ratio, jnp.float32) * jnp.sqrt(var)
+    thr = mu + jnp.asarray(std_ratio, jnp.float32) * jnp.sqrt(var)
+    # AND with the live mask: dead rows carry arbitrary (often zero)
+    # kNN means below any threshold — returning the bare comparison
+    # resurrected them when a caller REPLACED the mask (observed: the
+    # fused stage re-awakened voxel-padding zero-points, silently
+    # cleaned up again whenever ground-last removed z~0 points)
+    return buf.mask & (mean_d <= thr)
 
 
 def _halo_exchange(positions, mask, axis_name, halo):
@@ -405,6 +411,34 @@ def make_local_run(
                 buf = ops.se3_transform(buf, params.offset_matrix)
         if settings.crop_to_roi:
             buf = ops.crop_box(buf, params.roi_min, params.roi_max, params.crop_invert)
+
+        # ground ordering modes, mirroring models/pipeline.py: pre-voxel
+        # (ground_before_voxel — distributed RANSAC scoring is psum-based
+        # and order-independent), post-voxel (ground_before_neighborhood),
+        # or reference order (last)
+        ground_raw = settings.ground_before_voxel and settings.remove_ground
+        ground_first = (
+            not ground_raw
+            and settings.ground_before_neighborhood
+            and settings.remove_ground
+        )
+
+        def run_ground(b):
+            if settings.ground_method == "height":
+                return ops.remove_ground_by_height(
+                    b, params.ground_plane, params.distance_threshold
+                ), params.ground_plane
+            return _sharded_ground(
+                b,
+                key,
+                params.distance_threshold,
+                settings.ransac_n,
+                settings.num_iterations,
+                axis_name,
+            )
+
+        if ground_raw:
+            buf, plane = run_ground(buf)
         if settings.voxel_downsample:
             if settings.downsample_method == "voxel":
                 # local voxels; dedup fused into the same sort when enabled
@@ -450,6 +484,8 @@ def make_local_run(
                         )
                     else:
                         buf = ops.subsample_to(buf, local_cap)
+        if ground_first:
+            buf, plane = run_ground(buf)
         # mirror the single-chip pipeline's neighborhood fusion: one shared
         # window sweep for outliers+normals when both are enabled on the
         # window path (models/pipeline.py `fuse` condition)
@@ -481,21 +517,8 @@ def make_local_run(
             buf = _sharded_normals(
                 buf, settings, params, axis_name, halo, method
             )
-        if settings.remove_ground:
-            if settings.ground_method == "height":
-                buf = ops.remove_ground_by_height(
-                    buf, params.ground_plane, params.distance_threshold
-                )
-                plane = params.ground_plane
-            else:
-                buf, plane = _sharded_ground(
-                    buf,
-                    key,
-                    params.distance_threshold,
-                    settings.ransac_n,
-                    settings.num_iterations,
-                    axis_name,
-                )
+        if settings.remove_ground and not ground_raw and not ground_first:
+            buf, plane = run_ground(buf)
         return buf, plane
 
     return local_run

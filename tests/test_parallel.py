@@ -381,3 +381,36 @@ def test_sharded_window_halo_improves_boundary_quality(rng):
         agree[halo] = (m_ref == m_h)[live].mean()
     assert agree[512] >= agree[0]
     assert agree[512] >= 0.96, agree
+
+
+def test_sharded_fused_neighborhood_never_resurrects(rng):
+    """The fused stage rebuilds the ScanBuffer with the outlier keep-mask;
+    that mask must stay a SUBSET of the incoming live mask. Regression:
+    _global_outlier_keep returned the bare threshold comparison, and dead
+    rows (zero kNN means) came back alive — hidden whenever ground-last
+    removed the resurrected z~0 zero-points."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    pts = rng.uniform(-10, 10, (n - 300, 3)).astype(np.float32)
+    buf, _ = from_soa({"positions": pts}, capacity=n)
+    # kill a band of live points pre-stage (as a pre-voxel ground pass does)
+    mask = np.asarray(buf.mask).copy()
+    mask[200:900] = False
+    buf = buf.with_mask(jnp.asarray(mask))
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8,
+        estimate_normals=True, max_neighbors=8,
+        remove_ground=True, ground_before_voxel=True, ransac_n=3,
+        num_iterations=32, knn_method="window", pallas_ok=False,
+        voxel_downsample=False,
+    )
+    mesh = make_mesh()
+    run = build_sharded_pipeline(settings, mesh, "point")
+    sb = shard_buffer(buf, mesh, "point")
+    out, _plane = run(sb, PipelineParams.make(voxel_size=0.0), jax.random.PRNGKey(0))
+    live_in = int(np.asarray(buf.mask).sum())
+    live_out = int(np.asarray(out.mask).sum())
+    assert live_out <= live_in, (live_out, live_in)
+    assert live_out > 0
