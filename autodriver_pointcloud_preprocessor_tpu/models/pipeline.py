@@ -374,14 +374,15 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
         method = settings.downsample_method
         vb = "auto" if settings.pallas_ok else "xla"
         if method == "voxel":
+            # curve order is only worth its extra sort key when the
+            # presorted fused neighborhood consumes it downstream
             stages.append(
                 ("voxel", lambda b, p, k: (
                     ops.voxel_downsample(
                         b, p.voxel_size, backend=vb, dedup_exact=fuse_dedup,
-                        curve_order=settings.voxel_curve_order,
+                        curve_order=presorted,
                         compact_keys=(
-                            settings.voxel_compact_keys
-                            and settings.voxel_curve_order
+                            settings.voxel_compact_keys and presorted
                         ),
                     ),
                     None,

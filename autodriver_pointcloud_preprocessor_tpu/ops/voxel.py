@@ -28,18 +28,6 @@ from ..core.scan import ScanBuffer
 __all__ = ["voxel_downsample"]
 
 
-def _mix3(kx: jax.Array, ky: jax.Array, kz: jax.Array) -> jax.Array:
-    """32-bit avalanche mix of three uint32 rows (murmur3-style finalizer
-    constants). Used as the compact dedup-adjacency key: equal coords ->
-    equal hash always; distinct coords collide with p ~ 2^-32."""
-    h = kx * jnp.uint32(0x9E3779B1)
-    h = (h ^ (h >> 16)) + ky * jnp.uint32(0x85EBCA77)
-    h = (h ^ (h >> 13)) + kz * jnp.uint32(0xC2B2AE3D)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x27D4EB2F)
-    return h ^ (h >> 15)
-
-
 def voxel_downsample(
     buf: ScanBuffer,
     voxel_size: jax.Array | float,
@@ -89,18 +77,14 @@ def voxel_downsample(
     live points span at most 1024 voxels per axis, e.g. ROI-cropped
     input with roi_span <= 1024 * voxel_size): drops the exact voxel /
     coordinate-bit secondary keys — the hilbert key alone identifies the
-    voxel (it is bijective inside the box), and dedup adjacency rides a
-    single 32-bit avalanche hash of the coordinate bits instead of three
-    exact key rows. Cuts the dominant sort from 7 keys + 2 rows to 2
-    keys + 5 rows (~0.15 ms at 131k). Caveats: out-of-box voxels WOULD
-    be mis-merged (the in-box promise is on the caller — the node
-    auto-enables this only when the crop ROI fits, runtime/node.py); a
-    duplicate-detection hash collision mis-drops a point with
-    probability ~2^-32 per same-voxel coordinate pair (~1e-5 per 131k
-    scan; below sensor noise); and first-of-segment integer attributes
-    pick the hash-order first row instead of the coordinate-bit-order
-    first row (a different deterministic member of the same segment —
-    same divergence class as fused vs unfused dedup, above).
+    voxel (it is bijective inside the box), so the exact voxel-index
+    keys drop out of the sort: 4 keys + attrs instead of 7 (dedup) /
+    1 key + positions instead of 4 (no dedup) — ~0.1-0.15 ms at 131k.
+    Dedup stays EXACT (the bit-exact coordinate keys remain and double
+    as the position payload). ONE caveat: out-of-box voxels WOULD be
+    mis-merged (the in-box promise is on the caller — the node
+    auto-enables this only when the crop ROI fits,
+    models/pipeline.settings_from_config).
     """
     n = buf.capacity
     valid = buf.mask
@@ -159,24 +143,28 @@ def voxel_downsample(
         hkey = ()
     if compact_keys and not curve_order:
         raise ValueError("compact_keys requires curve_order")
-    shc = None
     if dedup_exact:
         from .dedup import _coordinate_keys
 
         kx, ky, kz = _coordinate_keys(buf.positions, valid)
         if compact_keys:
-            # single avalanche hash of the coordinate bits as the dedup
-            # adjacency key (dup iff same voxel-hilbert AND same hash;
-            # ~2^-32 false-positive per same-voxel pair, see docstring).
-            # Positions ride as payload since the bit keys are gone.
+            # the hilbert key IS the voxel identity (bijective in-box),
+            # so the exact voxel-index keys drop out entirely; the
+            # bit-exact coordinate keys remain (duplicates adjacent,
+            # EXACT dedup) and double as the position payload via the
+            # usual bitcast restore: 4 keys + attrs vs the exact path's
+            # 7 keys + attrs.
             sorted_ops = jax.lax.sort(
-                (*hkey, _mix3(kx, ky, kz), x, y, z, *idx_rows, *float_rows),
-                num_keys=2,
+                (*hkey, kx, ky, kz, *idx_rows, *float_rows),
+                num_keys=4,
                 is_stable=True,
             )
-            sh, shc = sorted_ops[0], sorted_ops[1]
-            px, py, pz = sorted_ops[2], sorted_ops[3], sorted_ops[4]
-            rest = sorted_ops[5:]
+            sh = sorted_ops[0]
+            skx, sky, skz = sorted_ops[1], sorted_ops[2], sorted_ops[3]
+            px = jax.lax.bitcast_convert_type(skx, jnp.float32)
+            py = jax.lax.bitcast_convert_type(sky, jnp.float32)
+            pz = jax.lax.bitcast_convert_type(skz, jnp.float32)
+            rest = sorted_ops[4:]
         else:
             # the bit-exact key rows ARE the positions (canonicalized
             # -0.0 -> +0.0, value-equal; invalid rows become the NaN
@@ -239,14 +227,11 @@ def voxel_downsample(
         # row (necessarily the same voxel). Exclude them from every segment
         # statistic — equivalent to deduping before voxelizing.
         dup = jnp.zeros(n, dtype=bool)
-        if compact_keys:
-            dup = dup.at[1:].set(same & (shc[1:] == shc[:-1]))
-        else:
-            dup = dup.at[1:].set(
-                (skx[1:] == skx[:-1])
-                & (sky[1:] == sky[:-1])
-                & (skz[1:] == skz[:-1])
-            )
+        dup = dup.at[1:].set(
+            (skx[1:] == skx[:-1])
+            & (sky[1:] == sky[:-1])
+            & (skz[1:] == skz[:-1])
+        )
         included = svalid & jnp.logical_not(dup)
     w = included.astype(jnp.float32)
 

@@ -93,6 +93,8 @@ def config2_outliers(n_points, reps):
         remove_statistical_outliers=True, nb_neighbors=20,
         remove_radius_outliers=True,
         estimate_normals=False, knn_method="window",
+        # scene spans 80 m at voxel 0.08 = in the 1024-cell hilbert box
+        voxel_compact_keys=True,
     )
     fn = build_pipeline(settings)
     params = PipelineParams.make(
