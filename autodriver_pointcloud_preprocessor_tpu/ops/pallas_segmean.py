@@ -10,12 +10,23 @@ an upper-triangular ones matrix: exact 0/1 arithmetic, no precision pass
 needed).
 
 Runs crossing block boundaries are handled with the TPU grid's sequential
-execution: scratch carries (open-segment partial sum, its global slot)
-across steps in VMEM, and each step DMA-writes its closed segments at a
-dynamic offset. Slots beyond a step's closed count are written as zeros
-and later overwritten by the steps that own them (writes are ordered);
-the final open segment is returned as a separate small output and folded
-in by the caller.
+execution: scratch carries (open-segment partial sum, its global slot,
+and the pending 128-column output tile) across steps in VMEM.
+
+Round-3 pipelining redesign (the first version cost 0.53 ms at 131k —
+DMA-latency-bound on three serialized round trips per step):
+* the global-slot shift folds INTO the one-hot comparison
+  (``one_hot[j, t] = cs[j] + gid%%128 == t``), so partials come out of the
+  main matmul already 128-aligned — the separate shift matmul is gone;
+* output writes are APPEND-ONLY: the incomplete trailing 128-column tile
+  stays in VMEM as carry, each step commits only tiles no future step
+  touches, so the read-modify-write round trip is gone (columns past the
+  committed tiles are written early with partial values and simply
+  overwritten by the next committing step — writes are ordered);
+* input DMAs are double-buffered across grid steps (prefetch block i+1
+  during block i's compute).
+The final open segment AND the final pending tile return as a small
+state output and are folded in by the caller.
 
 Channel convention (C <= 8, float32): callers typically pack
 [valid(count), x, y, z, attr..., first_index*flag]. Because the voxel sort
@@ -62,31 +73,50 @@ def _dot3_exact(a, b01, dims):
     return out
 
 
-def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
-            carry_vmem, gid_ref, rmw_vmem, sems):
+_W = _BLK + 128  # partials window: off (< 128) + up to BLK new runs
+
+
+def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals2, flags2,
+            carry_vmem, pend_vmem, stage_vmem, gid_ref, sems):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(1)
 
-    in_dma = pltpu.make_async_copy(
-        values_hbm.at[b, :, pl.ds(i * _BLK, _BLK)], vals_vmem, sems.at[0]
-    )
-    fl_dma = pltpu.make_async_copy(
-        flags_hbm.at[b, :, pl.ds(i * _BLK, _BLK)], flags_vmem, sems.at[1]
-    )
-    in_dma.start()
-    fl_dma.start()
+    def in_dma(slot, blk):
+        return pltpu.make_async_copy(
+            values_hbm.at[b, :, pl.ds(blk * _BLK, _BLK)],
+            vals2.at[slot], sems.at[slot],
+        )
 
-    # the grid iterates the block axis fastest: i == 0 is the start of each
-    # batch element, so the open-run state resets per scan
+    def fl_dma(slot, blk):
+        return pltpu.make_async_copy(
+            flags_hbm.at[b, :, pl.ds(blk * _BLK, _BLK)],
+            flags2.at[slot], sems.at[2 + slot],
+        )
+
+    # the grid iterates the block axis fastest: i == 0 is the start of
+    # each batch element — reset the run state and warm up the pipeline
     @pl.when(i == 0)
     def _():
+        in_dma(0, 0).start()
+        fl_dma(0, 0).start()
         carry_vmem[:, :] = jnp.zeros((_C, 1), jnp.float32)
+        pend_vmem[:, :] = jnp.zeros((_C, 128), jnp.float32)
         gid_ref[0] = 0
 
-    in_dma.wait()
-    fl_dma.wait()
+    slot = jax.lax.rem(i, 2)
 
-    flags = flags_vmem[:, :]  # (1, BLK) f32 0/1 run-start flags
+    # prefetch the next block while this one computes (double buffer)
+    @pl.when(i + 1 < nb)
+    def _():
+        nslot = jax.lax.rem(i + 1, 2)
+        in_dma(nslot, i + 1).start()
+        fl_dma(nslot, i + 1).start()
+
+    in_dma(slot, i).wait()
+    fl_dma(slot, i).wait()
+
+    flags = flags2[slot]  # (1, BLK) f32 0/1 run-start flags
     # inclusive cumsum via triangular matmul: cs[j] = sum_{i<=j} flags[i].
     # 0/1 operands are exact in bf16; f32 accumulation keeps counts exact.
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 0)
@@ -97,78 +127,76 @@ def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals_vmem, flags_vmem,
         preferred_element_type=jnp.float32,
     )  # (1, BLK), values in [0, S_new]
 
-    # one_hot[j, s] = (cs[j] == s): contributions of element j to local run
-    # s. Slot axis is BLK+128 wide: when every element opens a run the open
-    # run's slot equals BLK (one past the element count).
-    slot_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK + 128), 1)
-    one_hot = (
-        cs.reshape(_BLK, 1).astype(jnp.int32) == slot_i
-    ).astype(jnp.float32)
-
-    # partials[c, s] = sum_j values[c, j] * one_hot[j, s]. Values include
-    # coordinates and integer-index channels that bf16 would round, but
-    # one_hot is 0/1: 3-term bf16 split of the values is f32-exact at half
-    # the HIGHEST pass count.
-    partials = _dot3_exact(
-        vals_vmem[:, :], one_hot,
-        dims=(((1,), (0,)), ((), ())),
-    )  # (C, BLK+128)
-
     s_new = cs[0, _BLK - 1].astype(jnp.int32)  # runs started in this block
     gid = gid_ref[0]
+    base = pl.multiple_of((gid // 128) * 128, 128)
+    off = gid - base  # in [0, 128)
 
-    # fold the carried open-run partial into local slot 0 (scatter-add is
-    # not lowerable in Mosaic; a masked broadcast add is)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (_C, _BLK + 128), 1) == 0
-    partials = partials + jnp.where(col0, carry_vmem[:, :], 0.0)
+    # one_hot[j, t] = (cs[j] + off == t): the 128-alignment shift folds
+    # into the comparison, so the main matmul emits partials already at
+    # window-local columns — no separate shift matmul.
+    slot_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _W), 1)
+    one_hot = (
+        cs.reshape(_BLK, 1).astype(jnp.int32) + off == slot_i
+    ).astype(jnp.float32)
 
-    # new carry = slot s_new (the run left open at block end); dynamic
-    # column extraction as a masked row-reduction (dynamic_slice of a
-    # value is not lowerable in Mosaic)
-    col = jax.lax.broadcasted_iota(jnp.int32, (_C, _BLK + 128), 1)
-    carry_vmem[:, :] = jnp.sum(
-        jnp.where(col == s_new, partials, 0.0), axis=1, keepdims=True
-    )
-
-    # keep slots [0, s_new) — closed runs; zero the rest
-    partials = jnp.where(col < s_new, partials, 0.0)
-
-    # HBM DMA offsets must be 128-aligned and gid is arbitrary: write via a
-    # read-modify-write of the aligned window [aligned, aligned+BLK+128),
-    # shifting partials to column offset gid-aligned with a 0/1 matmul
-    # (dynamic_update_slice is not lowerable). The sequential grid makes
-    # the RMW race-free.
-    aligned = pl.multiple_of((gid // 128) * 128, 128)
-    off = gid - aligned  # in [0, 128)
-    src_j = jax.lax.broadcasted_iota(jnp.int32, (_BLK + 128, _BLK + 256), 0)
-    dst_t = jax.lax.broadcasted_iota(jnp.int32, (_BLK + 128, _BLK + 256), 1)
-    shift = (dst_t - src_j == off).astype(jnp.float32)
-    shifted = _dot3_exact(
-        partials, shift,
+    # partials[c, t] = sum_j values[c, j] * one_hot[j, t]. Values include
+    # coordinates that bf16 would round, but one_hot is 0/1: 3-term bf16
+    # split of the values is f32-exact at half the HIGHEST pass count.
+    partials = _dot3_exact(
+        vals2[slot], one_hot,
         dims=(((1,), (0,)), ((), ())),
-    )  # (C, BLK+256)
+    )  # (C, _W)
 
-    rd = pltpu.make_async_copy(
-        sums_hbm.at[b, :, pl.ds(aligned, _BLK + 256)], rmw_vmem, sems.at[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (_C, _W), 1)
+    # fold the carried open-run partial at column `off` (the block's
+    # first element continues it: flags[0] is forced 0 upstream)
+    partials = partials + jnp.where(col == off, carry_vmem[:, :], 0.0)
+    # fold the pending (incomplete) output tile into columns [0, 128)
+    partials = partials + jnp.concatenate(
+        [pend_vmem[:, :], jnp.zeros((_C, _W - 128), jnp.float32)], axis=1
     )
-    rd.start()
-    rd.wait()
-    col_g = aligned + jax.lax.broadcasted_iota(jnp.int32, (_C, _BLK + 256), 1)
-    rmw_vmem[:, :] = jnp.where(col_g < gid, rmw_vmem[:, :], shifted)
-    wr = pltpu.make_async_copy(
-        rmw_vmem, sums_hbm.at[b, :, pl.ds(aligned, _BLK + 256)], sems.at[2]
+
+    end = off + s_new  # filled columns; the open run sits AT `end`
+    # new open-run carry = column `end` (masked reduction: dynamic value
+    # slices are not lowerable in Mosaic)
+    carry_vmem[:, :] = jnp.sum(
+        jnp.where(col == end, partials, 0.0), axis=1, keepdims=True
     )
-    wr.start()
-    wr.wait()
+    closed = jnp.where(col < end, partials, 0.0)
+
+    # append-only commit: tiles [0, tiles_done) are final (no future step
+    # adds to them — future contributions start at column `end` >=
+    # tiles_done*128). The write ships the whole window; columns past the
+    # complete tiles carry in-progress values and are overwritten by the
+    # next committing step (sequential grid => ordered writes). The
+    # incomplete tail tile stays in VMEM as the next step's pending.
+    tiles_done = end // 128
+    pend = closed[:, 4 * 128:]
+    for k in range(3, -1, -1):
+        pend = jnp.where(tiles_done == k, closed[:, k * 128:(k + 1) * 128],
+                         pend)
+    pend_vmem[:, :] = pend
+
+    stage_vmem[:, :] = closed
+
+    @pl.when(tiles_done > 0)
+    def _():
+        wr = pltpu.make_async_copy(
+            stage_vmem, sums_hbm.at[b, :, pl.ds(base, _W)], sems.at[4]
+        )
+        wr.start()
+        wr.wait()
 
     gid_ref[0] = gid + s_new
 
-    # final open-run state (the batch element's last step wins): row 0 =
-    # gid, 1.. = carry
+    # final state (the batch element's last step wins): row 0 = gid,
+    # rows 1..C = open carry, rows C+1..2C = pending tile
     state_ref[0, :, :] = jnp.concatenate(
         [
             jnp.full((1, 128), (gid + s_new).astype(jnp.float32)),
             jnp.broadcast_to(carry_vmem[:, :], (_C, 128)),
+            pend,
         ]
     )
 
@@ -186,6 +214,7 @@ def _call_batched(values, run_start, interpret):
     flags = flags.at[:, 0, 0].set(0.0)
 
     nb = n // _BLK
+    n_out = n + _BLK + 256
     sums, state = pl.pallas_call(
         _kernel,
         grid=(batch, nb),
@@ -196,35 +225,45 @@ def _call_batched(values, run_start, interpret):
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, _C + 1, 128), lambda b, i: (b, 0, 0),
+                (1, 1 + 2 * _C, 128), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, _C, n + _BLK + 256), jnp.float32),
-            jax.ShapeDtypeStruct((batch, _C + 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch, _C, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1 + 2 * _C, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_C, _BLK), jnp.float32),
-            pltpu.VMEM((1, _BLK), jnp.float32),
+            pltpu.VMEM((2, _C, _BLK), jnp.float32),
+            pltpu.VMEM((2, 1, _BLK), jnp.float32),
             pltpu.VMEM((_C, 1), jnp.float32),
+            pltpu.VMEM((_C, 128), jnp.float32),
+            pltpu.VMEM((_C, _W), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((_C, _BLK + 256), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(vals, flags)
 
+    final_gid = state[:, 0, 0].astype(jnp.int32)  # (batch,)
+    final_carry = state[:, 1:1 + _C, 0]  # (batch, C)
+    final_pend = state[:, 1 + _C:, :]  # (batch, C, 128)
+    # overlay the final pending tile at its 128-aligned base — the in-HBM
+    # columns there hold early-committed partial values
+    final_base = (final_gid // 128) * 128
+
+    def overlay(s, p, bse):
+        return jax.lax.dynamic_update_slice(s, p, (0, bse))
+
+    sums = jax.vmap(overlay)(sums, final_pend, final_base)
     # fold each batch element's final open run in at its slot (one-hot add
     # keeps this vmap-free and shape-static)
-    final_gid = state[:, 0, 0].astype(jnp.int32)  # (batch,)
-    final_carry = state[:, 1:, 0]  # (batch, C)
-    cols = jnp.arange(n + _BLK + 256, dtype=jnp.int32)
+    cols = jnp.arange(n_out, dtype=jnp.int32)
     onehot = (cols[None, :] == final_gid[:, None]).astype(jnp.float32)
     sums = sums + onehot[:, None, :] * final_carry[:, :, None]
     sums = sums[:, :, :n]
-    # slots beyond the final run are uninitialized HBM — zero them
+    # slots beyond the final run were never committed — zero them
     live = jnp.arange(n, dtype=jnp.int32)[None, None, :] <= final_gid[:, None, None]
     return jnp.where(live, sums, 0.0)
 

@@ -251,7 +251,13 @@ def _kernel(
             # count(d2 <= t) ~= k, then one masked sum gives the mean with
             # an at-threshold correction for the overcount. Error bound:
             # the band width hi0/2^_BISECT (relative), on an estimate the
-            # Hilbert window already makes approximate.
+            # Hilbert window already makes approximate. NOTE: when a
+            # query block has fewer than k valid candidates (sparse
+            # regions, scan edges) hi0 falls back to the full-window max
+            # below, where 9 iterations leave a ~4x wider relative band
+            # than the tight center-block bound — accuracy-sensitive
+            # callers default to kmode='sweep' (exact), so this only
+            # affects explicit 'bisect' opt-ins.
             validd = d2 < _BIG / 2
             kf = jnp.float32(k)
             hi_full = jnp.max(
