@@ -104,6 +104,7 @@ PARAMETER_DEFAULTS = [
     ("downsample.max_points", 0),
     ("remove_ground.method", "ransac"),
     ("remove_ground.before_neighborhood", False),
+    ("remove_ground.before_voxel", False),
     ("estimate_normals", True),
     ("estimate_normals.search_radius", 0.1),
     ("estimate_normals.max_neighbors", 30),
@@ -144,6 +145,7 @@ _ENGINE_KEYS = {
     "downsample.every_k_points", "downsample.num_samples",
     "downsample.max_points",
     "remove_ground.method", "remove_ground.before_neighborhood",
+    "remove_ground.before_voxel",
     "estimate_normals", "estimate_normals.search_radius",
     "estimate_normals.max_neighbors",
     "remove_ground", "remove_ground.distance_threshold",
@@ -659,6 +661,7 @@ class PointcloudPreprocessorNode:
                           "downsample_method", "downsample.sampling_ratio",
                           "downsample.every_k_points", "downsample.num_samples",
                           "remove_ground.method", "remove_ground.before_neighborhood",
+                          "remove_ground.before_voxel",
                           "estimate_normals.search_radius",
                           "estimate_normals.max_neighbors",
                           "remove_ground", "remove_ground.distance_threshold",

@@ -461,3 +461,14 @@ def test_point_clearing_key_emitted():
     node, bus, outputs = _make_node()
     bus.create_publisher(node.input_topic).publish(_velodyne_msg())
     assert node.processing_times["point_clearing"] == 0.0
+
+
+def test_reconfigure_ground_before_voxel():
+    node, _, _ = _make_node()
+    ns = node.parameter_namespace
+    results = node.set_parameters([
+        Parameter(f"{ns}remove_ground", True),
+        Parameter(f"{ns}remove_ground.before_voxel", True),
+    ])
+    assert all(r.successful for r in results)
+    assert node.engine.settings.ground_before_voxel
