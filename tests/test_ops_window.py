@@ -360,3 +360,48 @@ def test_fused_presorted_matches_sorted_on_curve_ordered_input(rng):
     )
     kept = int(np.asarray(out[1]).sum())
     assert 0.7 * cap_small < kept <= cap_small
+
+
+def test_presorted_quality_floor_ring_structured_scan():
+    # quality floor for the PRODUCTION presorted path (pass-0 = the
+    # curve-ordered voxel sort's hilbert-of-voxel-cell order) on the
+    # ring-structured fixture: voxelize, then window-kNN means vs an
+    # exact KD-tree oracle over the voxel survivors. End-to-end at the
+    # bench config this path measures 0.990 survivor jaccard vs
+    # knn_method='exact' (PERF_NOTES "Round-3 endgame").
+    import os
+
+    from scipy.spatial import cKDTree
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops import voxel_downsample
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "ring_scene.npz")
+    pts = np.load(path)["positions"]
+    buf, _ = from_soa({"positions": pts}, capacity=16384)
+    vox = voxel_downsample(buf, 0.12, backend="xla", curve_order=True,
+                           compact_keys=True)
+    live = np.asarray(vox.mask)
+    vp = np.asarray(vox.positions)[:, live].T
+    k = 20
+    exact = cKDTree(vp).query(vp, k=k)[0].mean(axis=1)
+
+    out = fused_neighborhood_stats_reordered(
+        vox.positions, vox.mask, {}, k=k, radius=0.1, window_blocks=1,
+        passes=2, backend="pallas_interpret", presorted=True,
+    )
+    pos_r, m_r, _attrs, mean_r = out[0], out[1], out[2], out[3]
+    m = np.asarray(m_r)
+    Pr = np.asarray(pos_r)[:, m].T
+    mw = np.asarray(mean_r)[m]
+    # align reordered outputs to oracle rows by position
+    oa = np.lexsort(vp.T)
+    ob = np.lexsort(Pr.T)
+    np.testing.assert_allclose(vp[oa], Pr[ob], atol=0)
+    ce = exact[oa] <= exact.mean() + exact.std()
+    cw = mw[ob] <= mw[ob].mean() + mw[ob].std()
+    agree = (ce == cw).mean()
+    assert agree > 0.97, agree
