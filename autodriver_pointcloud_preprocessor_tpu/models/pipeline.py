@@ -99,7 +99,9 @@ class PipelineSettings:
     #: (MORE ground samples — equal-or-better fit; inlier masking happens
     #: pre-voxel so ground points never consume voxel segments). Implies
     #: the ground_before_neighborhood semantics for the downstream
-    #: stages. Ignored unless remove_ground and ground_method='ransac'.
+    #: stages. Applies to both ground methods (the height cut is
+    #: elementwise against a FIXED plane, so its mask is position-
+    #: independent too). Ignored unless remove_ground.
     ground_before_voxel: bool = False
     #: emit the voxel stage's output in Hilbert-curve order (primary
     #: hilbert key over the voxel cells; grouping unchanged — see
@@ -108,12 +110,13 @@ class PipelineSettings:
     #: or punches holes in the compacted prefix.
     voxel_curve_order: bool = True
     #: compact voxel sort keys (requires voxel_curve_order): the hilbert
-    #: key alone identifies the voxel and dedup adjacency rides one
-    #: 32-bit hash — ~0.15 ms cheaper at 131k. ONLY safe when live
-    #: points span <= 1024 voxels per axis (e.g. crop ROI with
-    #: roi_span <= 1024 * voxel_size; out-of-box voxels would be
-    #: mis-merged). The node auto-enables this from its ROI/voxel-size
-    #: parameters (runtime/node.py); default off for safety.
+    #: key alone identifies the voxel — ~0.15 ms cheaper at 131k. ONLY
+    #: safe when live points span at most 1008 voxel cells per axis
+    #: (e.g. crop ROI with roi_span <= 1008 * voxel_size; the curve box
+    #: is 1024^3 and the center shift plus floor quantization consume up
+    #: to 16 cells of margin — out-of-box voxels would be silently
+    #: mis-merged). settings_from_config auto-derives this from the
+    #: ROI/voxel-size parameters; default off for safety.
     voxel_compact_keys: bool = False
     ransac_n: int = 5
     num_iterations: int = 100

@@ -74,8 +74,11 @@ def voxel_downsample(
     this stage.
 
     ``compact_keys=True`` (requires ``curve_order``; caller promises the
-    live points span at most 1024 voxels per axis, e.g. ROI-cropped
-    input with roi_span <= 1024 * voxel_size): drops the exact voxel /
+    live points span at most 1008 voxel cells per axis, e.g. ROI-cropped
+    input with roi_span <= 1008 * voxel_size — the curve box is 1024^3
+    and the center shift plus floor quantization consume up to 16 cells
+    of margin, so exactly-1024-cell spans clip at the faces and would
+    silently merge distinct voxels): drops the exact voxel /
     coordinate-bit secondary keys — the hilbert key alone identifies the
     voxel (it is bijective inside the box), so the exact voxel-index
     keys drop out of the sort: 4 keys + attrs instead of 7 (dedup) /

@@ -452,40 +452,53 @@ def make_local_run(
                 buf = ops.uniform_downsample(buf, params.every_k_points)
             else:  # farthest_point: per-shard samples
                 buf = ops.farthest_point_downsample(buf, settings.fps_num_samples)
-            if settings.post_downsample_capacity > 0:
-                # per-shard share of the global post-downsample bucket,
-                # rounded up to the Pallas alignment quantum. Shards cap
-                # INDEPENDENTLY: size the bucket for the max per-shard
-                # survivor count (shards are balanced when input buffers
-                # are filled near capacity, since shard_buffer's spatial
-                # sort packs live points first). Semantics differ from the
-                # single-device subsample_to on OVERFLOW: shard_buffer's
-                # spatial sort makes shards spatial slabs, so dense slabs
-                # are thinned harder than sparse ones — the retained set
-                # is spatially biased, unlike the single-device unbiased
-                # hash subsample. Size the bucket with headroom over the
-                # expected survivor count to keep the cap a no-op (the
-                # build_sharded_pipeline warning covers cap inflation).
-                n_shards = jax.lax.axis_size(axis_name)
-                local_cap = -(-settings.post_downsample_capacity // n_shards)
-                local_cap = -(-local_cap // 512) * 512
-                if local_cap < buf.capacity:
-                    if settings.downsample_method == "voxel":
-                        # free prefix slice within budget; unbiased hash
-                        # subsample on overflow (a voxel-key-order prefix
-                        # would keep one spatial slab — see ops.compact)
-                        from ..core.scan import valid_count as _vc
 
-                        buf = jax.lax.cond(
-                            _vc(buf) > local_cap,
-                            lambda b: ops.subsample_to(b, local_cap),
-                            lambda b: ops.shrink_front(b, local_cap),
-                            buf,
-                        )
-                    else:
-                        buf = ops.subsample_to(buf, local_cap)
+        def local_shrink(b):
+            # per-shard share of the global post-downsample bucket,
+            # rounded up to the Pallas alignment quantum. Shards cap
+            # INDEPENDENTLY: size the bucket for the max per-shard
+            # survivor count (shards are balanced when input buffers
+            # are filled near capacity, since shard_buffer's spatial
+            # sort packs live points first). Semantics differ from the
+            # single-device subsample_to on OVERFLOW: shard_buffer's
+            # spatial sort makes shards spatial slabs, so dense slabs
+            # are thinned harder than sparse ones — the retained set
+            # is spatially biased, unlike the single-device unbiased
+            # hash subsample. Size the bucket with headroom over the
+            # expected survivor count to keep the cap a no-op (the
+            # build_sharded_pipeline warning covers cap inflation).
+            n_shards = jax.lax.axis_size(axis_name)
+            local_cap = -(-settings.post_downsample_capacity // n_shards)
+            local_cap = -(-local_cap // 512) * 512
+            if local_cap >= b.capacity:
+                return b
+            if settings.downsample_method == "voxel":
+                # free prefix slice within budget; unbiased hash
+                # subsample on overflow (a voxel-key-order prefix
+                # would keep one spatial slab — see ops.compact)
+                from ..core.scan import valid_count as _vc
+
+                return jax.lax.cond(
+                    _vc(b) > local_cap,
+                    lambda bb: ops.subsample_to(bb, local_cap),
+                    lambda bb: ops.shrink_front(bb, local_cap),
+                    b,
+                )
+            return ops.subsample_to(b, local_cap)
+
+        do_shrink = (
+            settings.voxel_downsample
+            and settings.post_downsample_capacity > 0
+        )
+        # mirror the single-chip ordering: under ground_first the shrink
+        # is DEFERRED past ground so RANSAC samples the full voxel cloud
+        # (models/pipeline.py deferred_cap)
+        if do_shrink and not ground_first:
+            buf = local_shrink(buf)
         if ground_first:
             buf, plane = run_ground(buf)
+            if do_shrink:
+                buf = local_shrink(buf)
         # mirror the single-chip pipeline's neighborhood fusion: one shared
         # window sweep for outliers+normals when both are enabled on the
         # window path (models/pipeline.py `fuse` condition)

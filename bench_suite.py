@@ -20,22 +20,39 @@ import time
 import numpy as np
 
 
-def _timeit(fn, pull, reps=3, K=10):
-    out = fn()
-    pull(out)
-    pulls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pull(out)
-        pulls.append(time.perf_counter() - t0)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            out = fn()
-        pull(out)
-        ts.append(time.perf_counter() - t0)
-    return max((np.median(ts) - np.median(pulls)) * 1e3 / K, 1e-3)
+def _chained_ms(runner, buf, params, key, reps=5, K=16, perturb=None):
+    """In-jit chained device latency (bench.py methodology): K pipeline
+    invocations chained through a scalar data dependency inside ONE
+    program; per-scan = (T(K) - T(1)) / (K - 1). Dispatch-free — the
+    suite's earlier independent-dispatch numbers included ~0.5-3 ms of
+    tunnel queue overhead per call (PERF_NOTES.md round-3 finding)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if perturb is None:
+        def perturb(b, acc):
+            return b.replace(positions=b.positions * (1.0 + acc * 1e-30))
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def chain(b0, p, k0, n_iter):
+        def body(i, acc):
+            out = runner(perturb(b0, acc), p, jax.random.fold_in(k0, i))
+            o = out[0] if isinstance(out, tuple) else out
+            return acc + jnp.sum(o.positions[:, :2]) * 1e-30
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+    t = {}
+    for n_iter in (1, K):
+        np.asarray(chain(buf, params, key, n_iter))
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chain(buf, params, key, n_iter))
+            samples.append(time.perf_counter() - t0)
+        t[n_iter] = float(np.median(samples))
+    return max((t[K] - t[1]) * 1e3 / (K - 1), 1e-3)
 
 
 def _emit(name, ms, extra=None):
@@ -49,17 +66,13 @@ def _emit(name, ms, extra=None):
     print(json.dumps(rec), flush=True)
 
 
-def _pull_buf(b):
-    return np.asarray(b.mask[:1])
-
-
 def config1_loader_crop_voxel(n_points, reps):
     """Single Velodyne-style scan: crop-box + voxel-grid downsample."""
     import jax
 
     from autodriver_pointcloud_preprocessor_tpu.core import from_soa
     from autodriver_pointcloud_preprocessor_tpu.models import (
-        PipelineParams, PipelineSettings, build_pipeline,
+        PipelineParams, PipelineSettings,
     )
     from bench import _scene
 
@@ -69,10 +82,13 @@ def config1_loader_crop_voxel(n_points, reps):
         remove_duplicates=False, remove_nans=True, remove_infs=True,
         crop_to_roi=True, voxel_downsample=True, estimate_normals=False,
     )
-    fn = build_pipeline(settings)
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        pipeline_runner,
+    )
+
     params = PipelineParams.make(voxel_size=0.08)
     key = jax.random.PRNGKey(0)
-    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps)
+    ms = _chained_ms(pipeline_runner(settings), buf, params, key, reps)
     _emit("crop+voxel (single scan via loader)", ms)
 
 
@@ -82,7 +98,7 @@ def config2_outliers(n_points, reps):
 
     from autodriver_pointcloud_preprocessor_tpu.core import from_soa
     from autodriver_pointcloud_preprocessor_tpu.models import (
-        PipelineParams, PipelineSettings, build_pipeline,
+        PipelineParams, PipelineSettings,
     )
     from bench import _scene
 
@@ -96,13 +112,16 @@ def config2_outliers(n_points, reps):
         # scene spans 80 m at voxel 0.08 = in the 1024-cell hilbert box
         voxel_compact_keys=True,
     )
-    fn = build_pipeline(settings)
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        pipeline_runner,
+    )
+
     params = PipelineParams.make(
         voxel_size=0.08, std_ratio=2.0,
         radius_nb_points=8, radius_search_radius=0.4,
     )
     key = jax.random.PRNGKey(0)
-    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps)
+    ms = _chained_ms(pipeline_runner(settings), buf, params, key, reps)
     _emit("voxel + statistical & radius outliers", ms)
 
 
@@ -112,7 +131,7 @@ def config3_ransac(n_points, reps):
 
     from autodriver_pointcloud_preprocessor_tpu.core import from_soa
     from autodriver_pointcloud_preprocessor_tpu.models import (
-        PipelineParams, PipelineSettings, build_pipeline,
+        PipelineParams, PipelineSettings,
     )
     from bench import _scene
 
@@ -123,10 +142,13 @@ def config3_ransac(n_points, reps):
         estimate_normals=False, remove_ground=True, ransac_n=3,
         num_iterations=100,
     )
-    fn = build_pipeline(settings)
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        pipeline_runner,
+    )
+
     params = PipelineParams.make(distance_threshold=0.12)
     key = jax.random.PRNGKey(0)
-    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps)
+    ms = _chained_ms(pipeline_runner(settings), buf, params, key, reps)
     _emit("RANSAC ground segmentation (KITTI-like scene)", ms)
 
 
@@ -155,12 +177,20 @@ def config4_concatenator(n_points, reps):
         m[:3, 3] = [i * 2.0, -i, 0.1 * i]
         exts.append(jnp.asarray(m))
 
-    @jax.jit
-    def merge(bs):
-        merged = concatenate_buffers(bs, exts)
+    def merge_runner(bs, _params, _key):
+        merged = concatenate_buffers(list(bs), exts)
         return voxel_downsample(merged, 0.08)
 
-    ms = _timeit(lambda: merge(bufs), _pull_buf, reps)
+    def perturb(bs, acc):
+        return tuple(
+            b.replace(positions=b.positions * (1.0 + acc * 1e-30))
+            for b in bs
+        )
+
+    import jax as _jax
+
+    ms = _chained_ms(merge_runner, tuple(bufs), None,
+                     _jax.random.PRNGKey(0), reps, perturb=perturb)
     _emit("3-LiDAR concat + merged voxel", ms)
 
 
@@ -295,7 +325,7 @@ def config6_merged_1m(reps):
 
     from autodriver_pointcloud_preprocessor_tpu.core import from_soa
     from autodriver_pointcloud_preprocessor_tpu.models import (
-        PipelineParams, PipelineSettings, build_pipeline,
+        PipelineParams, PipelineSettings,
     )
     from bench import _scene
 
@@ -308,10 +338,13 @@ def config6_merged_1m(reps):
         remove_ground=True, ransac_n=3, num_iterations=64,
         knn_method="window",
     )
-    fn = build_pipeline(settings)
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        pipeline_runner,
+    )
+
     params = PipelineParams.make(voxel_size=0.05, distance_threshold=0.12)
     key = jax.random.PRNGKey(0)
-    ms = _timeit(lambda: fn(buf, params, key)[0], _pull_buf, reps, K=5)
+    ms = _chained_ms(pipeline_runner(settings), buf, params, key, reps, K=5)
     _emit("1M-pt merged cloud, full pipeline", ms)
 
 
