@@ -414,3 +414,32 @@ def test_sharded_fused_neighborhood_never_resurrects(rng):
     live_out = int(np.asarray(out.mask).sum())
     assert live_out <= live_in, (live_out, live_in)
     assert live_out > 0
+
+
+def test_sharded_ground_first_defers_shrink_like_single_chip(rng):
+    """Sharded ground_before_neighborhood must sample RANSAC from the
+    full voxel cloud (shrink deferred past ground, like single-chip
+    deferred_cap) — review finding r3: the shrink used to run first."""
+    pts = _scene(rng)
+    buf, _ = from_soa({"positions": pts}, capacity=4096)
+    settings = PipelineSettings(
+        remove_statistical_outliers=True, nb_neighbors=8,
+        knn_method="window", estimate_normals=True, max_neighbors=8,
+        remove_ground=True, num_iterations=64, ransac_n=3,
+        ground_before_neighborhood=True, post_downsample_capacity=2048,
+        pallas_ok=False,
+    )
+    params = PipelineParams.make(voxel_size=0.15, distance_threshold=0.08)
+    key = jax.random.PRNGKey(0)
+
+    single = build_pipeline(settings)
+    out_s, plane_s = single(buf, params, key)
+    mesh = make_mesh()
+    fn = build_sharded_pipeline(settings, mesh)
+    out_m, plane_m = fn(shard_buffer(buf, mesh), params, key)
+
+    ps, pm = np.asarray(plane_s), np.asarray(plane_m)
+    assert abs(ps[2]) > 0.99 and abs(pm[2]) > 0.99
+    ns = int(np.asarray(out_s.mask).sum())
+    nm = int(np.asarray(out_m.mask).sum())
+    assert nm > 0 and abs(ns - nm) / max(ns, 1) < 0.15, (ns, nm)
