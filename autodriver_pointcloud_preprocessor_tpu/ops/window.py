@@ -57,7 +57,7 @@ def _spread_bits_10(v: jax.Array) -> jax.Array:
     return v
 
 
-def _quantize_axes(positions, mask, origin_shift: float):
+def _quantize_axes(positions, mask, origin_shift: float, bounds=None):
     """Per-axis 10-bit quantization over the live bounding box.
 
     ``origin_shift`` (in cells) jitters the grid between passes so curve
@@ -70,13 +70,25 @@ def _quantize_axes(positions, mask, origin_shift: float):
     size moves them (measured: pass-1 shift 128 lifts 2-pass agreement vs
     exact kNN from 87.4% to 97.7% on the sparse bench scene; a half-cell
     shift does nothing).
+
+    ``bounds``: optional ``(lo[3], hi[3])`` quantization box aligned with
+    the rows of ``positions`` (callers that permute axes must permute the
+    bounds identically). Sharded callers pass the pmin/pmax GLOBAL live
+    bbox so every shard quantizes into the same grid — with local (per-
+    shard) boxes, each slab's curve hierarchy has different superblock
+    boundaries than the global curve, degrading window quality for
+    interior points too (PERF_NOTES.md "sharded window path", error
+    source b).
     """
     big = jnp.float32(3.4e38)
     out = []
     for c in range(3):
         v = positions[c]
-        lo = jnp.min(jnp.where(mask, v, big))
-        hi = jnp.max(jnp.where(mask, v, -big))
+        if bounds is None:
+            lo = jnp.min(jnp.where(mask, v, big))
+            hi = jnp.max(jnp.where(mask, v, -big))
+        else:
+            lo, hi = bounds[0][c], bounds[1][c]
         scale = (1023.0 - origin_shift) / jnp.maximum(hi - lo, 1e-12)
         q = jnp.clip((v - lo) * scale + origin_shift, 0.0, 1023.0).astype(jnp.int32)
         out.append(q)
@@ -84,10 +96,11 @@ def _quantize_axes(positions, mask, origin_shift: float):
 
 
 def morton_codes(
-    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0
+    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0,
+    bounds=None,
 ) -> jax.Array:
     """30-bit Morton (Z-order) code per point, invalid rows pushed last."""
-    qx, qy, qz = _quantize_axes(positions, mask, origin_shift)
+    qx, qy, qz = _quantize_axes(positions, mask, origin_shift, bounds)
     code = (
         _spread_bits_10(qx)
         | (_spread_bits_10(qy) << 1)
@@ -146,11 +159,12 @@ def hilbert_cell_codes(cells, mask: jax.Array) -> jax.Array:
 
 
 def hilbert_codes(
-    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0
+    positions: jax.Array, mask: jax.Array, origin_shift: float = 0.0,
+    bounds=None,
 ) -> jax.Array:
     """30-bit Hilbert-curve index per point, invalid rows pushed last."""
     return hilbert_cell_codes(
-        _quantize_axes(positions, mask, origin_shift), mask
+        _quantize_axes(positions, mask, origin_shift, bounds), mask
     )
 
 
@@ -183,15 +197,32 @@ def _pass_shift(pass_idx: int) -> float:
     return float(min(128 * pass_idx, 512))
 
 
-def _hilbert_order(positions, mask, pass_idx):
+def _permute_bounds(bounds, perm):
+    """Reorder a (lo[3], hi[3]) bounds pair by the pass axis permutation."""
+    if bounds is None:
+        return None
+    lo, hi = bounds
+    return (
+        jnp.stack([lo[perm[0]], lo[perm[1]], lo[perm[2]]]),
+        jnp.stack([hi[perm[0]], hi[perm[1]], hi[perm[2]]]),
+    )
+
+
+def _hilbert_order(positions, mask, pass_idx, bounds=None):
     """Sort permutation for pass ``pass_idx`` (axis-permuted, jittered curve)."""
     perm = _PASS_PERMS[pass_idx % len(_PASS_PERMS)]
     permuted = jnp.stack([positions[perm[0]], positions[perm[1]], positions[perm[2]]])
-    return jnp.argsort(hilbert_codes(permuted, mask, _pass_shift(pass_idx)))
+    return jnp.argsort(
+        hilbert_codes(
+            permuted, mask, _pass_shift(pass_idx), _permute_bounds(bounds, perm)
+        )
+    )
 
 
-def _sorted_window_arrays(positions, mask, block_size, window_blocks, pass_idx):
-    order = _hilbert_order(positions, mask, pass_idx)
+def _sorted_window_arrays(
+    positions, mask, block_size, window_blocks, pass_idx, bounds=None
+):
+    order = _hilbert_order(positions, mask, pass_idx, bounds)
     sx = positions[0][order].reshape(-1, block_size)
     sy = positions[1][order].reshape(-1, block_size)
     sz = positions[2][order].reshape(-1, block_size)
@@ -216,7 +247,8 @@ def default_backend() -> str:
         return "xla"
 
 
-def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True):
+def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True,
+                 bounds=None):
     """Curve-sort x/y/z/valid (+extra rows) via ONE variadic lax.sort.
 
     Gather-free: the sort carries every payload row alongside the key
@@ -232,7 +264,9 @@ def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True):
     permuted = jnp.stack(
         [positions[perm[0]], positions[perm[1]], positions[perm[2]]]
     )
-    codes = hilbert_codes(permuted, mask, _pass_shift(pass_idx))
+    codes = hilbert_codes(
+        permuted, mask, _pass_shift(pass_idx), _permute_bounds(bounds, perm)
+    )
     if with_idx:
         idx_rows = (jnp.arange(positions.shape[-1], dtype=jnp.int32),)
     else:
@@ -266,14 +300,15 @@ def _entries_from_moments(mom):
 
 
 def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
-                 interpret, kmode="sweep"):
+                 interpret, kmode="sweep", bounds=None):
     """One curve pass through the fused Pallas kernel (ops/pallas_window.py).
 
     Returns (mean_knn[N], cov_entries[6, N], count[N]) in ORIGINAL order.
     """
     from .pallas_window import window_stats_pallas
 
-    sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, pass_idx)
+    sx, sy, sz, sv, sidx = _sorted_rows(positions, mask, pass_idx,
+                                        bounds=bounds)
     mean_s, cnt_s, mom_s = window_stats_pallas(
         sx, sy, sz, sv, radius, k=k, window_blocks=window_blocks,
         interpret=interpret, kmode=kmode, direction=pass_idx % 2,
@@ -287,7 +322,7 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
 
 def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
                   passes, interp, kmode, shrink_to=0, radius2=None,
-                  d2mode="highest", presorted=False):
+                  d2mode="highest", presorted=False, bounds=None):
     """Shared sort-chained multi-pass core of the fused neighborhood ops.
 
     Runs ``passes`` curve passes through the Pallas kernel, chaining each
@@ -343,7 +378,8 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         keep = pri.astype(jnp.float32) < p * jnp.float32(2.0**32)
         m = m & ((n_live <= shrink_to) | keep)
         ax, ay, az, av, *acr = _sorted_rows(
-            jnp.stack([px, py, pz]), m, 0, extra=tuple(cr), with_idx=False
+            jnp.stack([px, py, pz]), m, 0, extra=tuple(cr), with_idx=False,
+            bounds=bounds,
         )
         return (
             ax[:shrink_to], ay[:shrink_to], az[:shrink_to], av[:shrink_to],
@@ -378,14 +414,15 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         )
     else:
         sx, sy, sz, sv, *carry = _sorted_rows(
-            positions, mask, 0, extra=tuple(carry), with_idx=False
+            positions, mask, 0, extra=tuple(carry), with_idx=False,
+            bounds=bounds,
         )
     mean, count, nx, ny, nz, cnt2 = one_pass(sx, sy, sz, sv, 0)
     for p_i in range(1, passes):
         stat_rows = (mean, count, nx, ny, nz) + ((cnt2,) if use_r2 else ())
         sx, sy, sz, sv, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
-            extra=(*carry, *stat_rows), with_idx=False,
+            extra=(*carry, *stat_rows), with_idx=False, bounds=bounds,
         )
         ns = len(stat_rows)
         carry, stat_rows = rest[:-ns], rest[-ns:]
@@ -416,6 +453,7 @@ def fused_neighborhood_stats(
     passes: int = 2,
     backend: str = "auto",
     kmode: str = "sweep",
+    bounds=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One shared neighborhood sweep serving BOTH statistical-outlier and
     normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
@@ -427,6 +465,9 @@ def fused_neighborhood_stats(
     cloud (the reference filters outliers first, then estimates normals;
     true outliers are out-of-radius for their neighbors, so the normals
     are statistically unchanged).
+
+    ``bounds``: optional (lo[3], hi[3]) quantization box for the curve
+    sorts (see ``_quantize_axes``; sharded callers pass the global bbox).
     """
     if backend == "auto":
         backend = default_backend()
@@ -441,6 +482,7 @@ def fused_neighborhood_stats(
                 positions, mask, (idx,), k=k, radius=radius,
                 window_blocks=window_blocks, passes=passes,
                 interp=(backend == "pallas_interpret"), kmode=kmode,
+                bounds=bounds,
             )
         )
         mean, count, nx, ny, nz = _unsort(orig, (mean, count, nx, ny, nz))
@@ -450,11 +492,11 @@ def fused_neighborhood_stats(
     # XLA fallback: compose the two window ops (no sharing, same results)
     mean = window_mean_knn_dist(
         positions, mask, k=k, window_blocks=window_blocks, passes=passes,
-        backend="xla",
+        backend="xla", bounds=bounds,
     )
     entries, count = window_normal_stats(
         positions, mask, radius, window_blocks=window_blocks, passes=passes,
-        backend="xla",
+        backend="xla", bounds=bounds,
     )
     from .normals import _normals_from_entries as _nfe
 
@@ -479,6 +521,7 @@ def fused_neighborhood_stats_reordered(
     radius2=None,
     d2mode: str = "highest",
     presorted: bool = False,
+    bounds=None,
 ):
     """`fused_neighborhood_stats` that REORDERS the buffer instead of
     unsorting the stats.
@@ -525,13 +568,13 @@ def fused_neighborhood_stats_reordered(
         mean, normals, count = fused_neighborhood_stats(
             positions, mask, k=k, radius=radius,
             window_blocks=window_blocks, passes=passes, backend=backend,
-            kmode=kmode,
+            kmode=kmode, bounds=bounds,
         )
         if radius2 is None:
             return positions, mask, attrs, mean, normals, count
         _entries, count2 = window_normal_stats(
             positions, mask, radius2, window_blocks=window_blocks,
-            passes=passes, backend="xla",
+            passes=passes, backend="xla", bounds=bounds,
         )
         return positions, mask, attrs, mean, normals, count, count2
 
@@ -548,7 +591,7 @@ def fused_neighborhood_stats_reordered(
         window_blocks=window_blocks, passes=passes,
         interp=(backend == "pallas_interpret"), kmode=kmode,
         shrink_to=shrink_to, radius2=radius2, d2mode=d2mode,
-        presorted=presorted,
+        presorted=presorted, bounds=bounds,
     )
 
     out_attrs = {}
@@ -591,6 +634,7 @@ def window_mean_knn_dist(
     passes: int = 2,
     backend: str = "auto",
     kmode: str = "sweep",
+    bounds=None,
 ) -> jax.Array:
     """Mean distance to the k nearest window candidates (self included).
 
@@ -609,7 +653,7 @@ def window_mean_knn_dist(
         def pallas_one(pass_idx):
             mean, _entries, _cnt = _pallas_pass(
                 positions, mask, pass_idx, k, 0.0, window_blocks, interp,
-                kmode=kmode,
+                kmode=kmode, bounds=bounds,
             )
             return mean
 
@@ -620,7 +664,7 @@ def window_mean_knn_dist(
 
     def one_pass(pass_idx):
         order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
-            positions, mask, block_size, window_blocks, pass_idx
+            positions, mask, block_size, window_blocks, pass_idx, bounds
         )
         nb = sx.shape[0]
         cb = min(chunk_blocks, nb)
@@ -671,6 +715,7 @@ def window_normal_stats(
     chunk_blocks: int = 64,
     passes: int = 2,
     backend: str = "auto",
+    bounds=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """In-radius covariance entries over the curve window, per point.
 
@@ -691,7 +736,8 @@ def window_normal_stats(
         entries, counts = None, None
         for p_i in range(passes):
             _mean, e2, c2 = _pallas_pass(
-                positions, mask, p_i, 1, radius, window_blocks, interp
+                positions, mask, p_i, 1, radius, window_blocks, interp,
+                bounds=bounds,
             )
             if entries is None:
                 entries, counts = e2, c2
@@ -704,7 +750,7 @@ def window_normal_stats(
 
     def one_pass(pass_idx):
         order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
-            positions, mask, block_size, window_blocks, pass_idx
+            positions, mask, block_size, window_blocks, pass_idx, bounds
         )
         nb = sx.shape[0]
         cb = min(chunk_blocks, nb)

@@ -156,6 +156,27 @@ def _global_outlier_keep(buf, mean_d, std_ratio, axis_name):
     return buf.mask & (mean_d <= thr)
 
 
+def _global_live_bounds(positions, mask, axis_name):
+    """pmin/pmax live bounding box, identical on every shard.
+
+    Passed as the window ops' ``bounds`` so all shards quantize their
+    curve sorts into the SAME grid as a single device would. With the
+    default per-shard (local-bbox) quantization, each slab's Hilbert
+    hierarchy has different superblock boundaries than the global curve —
+    the round-3 measured error source (b) that larger halos cannot fix
+    (PERF_NOTES.md "sharded window path"). Costs two tiny (3,)-vector
+    collectives per neighborhood stage.
+    """
+    big = jnp.float32(3.4e38)
+    lo = jax.lax.pmin(
+        jnp.min(jnp.where(mask[None, :], positions, big), axis=-1), axis_name
+    )
+    hi = jax.lax.pmax(
+        jnp.max(jnp.where(mask[None, :], positions, -big), axis=-1), axis_name
+    )
+    return lo, hi
+
+
 def _halo_exchange(positions, mask, axis_name, halo):
     """Borrow ``halo`` curve-edge columns from each neighboring shard.
 
@@ -210,6 +231,7 @@ def _sharded_outliers(buf, settings, std_ratio, axis_name, halo):
             pos, msk, k=settings.nb_neighbors,
             backend=kw["window_backend"], window_blocks=kw["window_blocks"],
             passes=kw["passes"], kmode=settings.knn_kmode,
+            bounds=_global_live_bounds(buf.positions, buf.mask, axis_name),
         )
         mean_d = jax.lax.dynamic_slice_in_dim(mean_d, h, buf.capacity)
     keep = _global_outlier_keep(buf, mean_d, std_ratio, axis_name)
@@ -236,6 +258,7 @@ def _sharded_fused_neighborhood(buf, settings, params, axis_name, halo):
         passes=kw["passes"],
         backend=kw["window_backend"],
         kmode=settings.knn_kmode,
+        bounds=_global_live_bounds(buf.positions, buf.mask, axis_name),
     )
     mean_d = jax.lax.dynamic_slice_in_dim(mean_d, h, buf.capacity)
     normals = jax.lax.dynamic_slice_in_dim(normals, h, buf.capacity, axis=-1)
@@ -261,6 +284,7 @@ def _sharded_radius_outliers(buf, settings, params, axis_name, halo, method):
         pos, msk, params.radius_search_radius,
         backend=kw["window_backend"], window_blocks=kw["window_blocks"],
         passes=kw["passes"],
+        bounds=_global_live_bounds(buf.positions, buf.mask, axis_name),
     )
     count = jax.lax.dynamic_slice_in_dim(count, h, buf.capacity)
     keep = count >= jnp.asarray(params.radius_nb_points, count.dtype)
@@ -283,6 +307,7 @@ def _sharded_normals(buf, settings, params, axis_name, halo, method):
         pos, msk, params.search_radius,
         backend=kw["window_backend"], window_blocks=kw["window_blocks"],
         passes=kw["passes"],
+        bounds=_global_live_bounds(buf.positions, buf.mask, axis_name),
     )
     entries = jax.lax.dynamic_slice_in_dim(entries, h, buf.capacity, axis=-1)
     count = jax.lax.dynamic_slice_in_dim(count, h, buf.capacity)

@@ -342,13 +342,19 @@ def test_sharded_window_path_full_pipeline(rng):
     assert overlap >= 0.95, (overlap, len(surv_s), len(surv_m))
 
 
-def test_sharded_window_halo_improves_boundary_quality(rng):
-    # VERDICT r2 item 9, quantified: shard-local windows miss curve-
-    # boundary neighbors; the ppermute halo exchange must measurably close
-    # the gap to the single-device window classification. Uses the
-    # outlier-only stage so the keep-mask IS the kNN-mean classification.
-    import dataclasses
-
+def test_sharded_window_quality_vs_single_device(rng):
+    # VERDICT r2 item 9, quantified — then improved in round 3: the two
+    # sharding error sources are (a) curve-boundary neighbor misses
+    # (mitigated by the ppermute halo exchange) and (b) slab-local curve
+    # sorts quantizing against the LOCAL bbox, shifting every superblock
+    # boundary vs the global curve. Threading the pmin/pmax GLOBAL bbox
+    # as the window ops' quantization `bounds` removes the quantization
+    # half of (b): measured on this fixture halo=0 89.1% -> 95.9%,
+    # halo=512 96.1% -> 97.9% agreement with single-device. The residual
+    # ~2% is the slab-LOCAL jittered re-sorts of passes >= 1 (a global
+    # pass-1 order interleaves points across shards; no local sort can
+    # reproduce it). Uses the outlier-only stage so the keep-mask IS the
+    # kNN-mean classification.
     pts = _scene(rng, 12000, 3000)
     buf, _ = from_soa({"positions": pts}, capacity=16384)
     settings = PipelineSettings(
@@ -358,10 +364,18 @@ def test_sharded_window_halo_improves_boundary_quality(rng):
     )
     params = PipelineParams.make(std_ratio=1.0)
     key = jax.random.PRNGKey(0)
-    out_single, _ = build_pipeline(settings)(buf, params, key)
 
     mesh = make_mesh()
     sb = shard_buffer(buf, mesh)
+    # compare classifications on the SAME (spatially sorted) frame:
+    # single-device mask must be re-derived in that frame
+    from autodriver_pointcloud_preprocessor_tpu.parallel.sharding import (
+        spatial_sort,
+    )
+
+    ref, _ = build_pipeline(settings)(spatial_sort(buf), params, key)
+    m_ref = np.asarray(ref.mask)
+    live = np.asarray(spatial_sort(buf).mask)
     agree = {}
     for halo in (0, 512):
         from autodriver_pointcloud_preprocessor_tpu.parallel.sharding import (
@@ -369,18 +383,12 @@ def test_sharded_window_halo_improves_boundary_quality(rng):
         )
 
         out_h, _ = bsp(settings, mesh, "point", halo)(sb, params, key)
-        # compare classifications on the SAME (spatially sorted) frame:
-        # single-device mask must be re-derived in that frame
-        from autodriver_pointcloud_preprocessor_tpu.parallel.sharding import (
-            spatial_sort,
-        )
-
-        ref, _ = build_pipeline(settings)(spatial_sort(buf), params, key)
-        m_ref, m_h = np.asarray(ref.mask), np.asarray(out_h.mask)
-        live = np.asarray(spatial_sort(buf).mask)
-        agree[halo] = (m_ref == m_h)[live].mean()
+        agree[halo] = (m_ref == np.asarray(out_h.mask))[live].mean()
     assert agree[512] >= agree[0]
-    assert agree[512] >= 0.96, agree
+    # floors just under the measured 0.9591 / 0.9791 (global-bounds
+    # quantization; was 0.891 / 0.961 with local boxes)
+    assert agree[512] >= 0.97, agree
+    assert agree[0] >= 0.95, agree
 
 
 def test_sharded_fused_neighborhood_never_resurrects(rng):
