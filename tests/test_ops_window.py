@@ -405,3 +405,63 @@ def test_presorted_quality_floor_ring_structured_scan():
     cw = mw[ob] <= mw[ob].mean() + mw[ob].std()
     agree = (ce == cw).mean()
     assert agree > 0.97, agree
+
+
+def test_window_bounds_match_default_on_live_bbox(rng):
+    # `bounds` threading (sharded global-bbox quantization): passing the
+    # live bounding box explicitly must reproduce the default (internally
+    # computed) quantization bit-for-bit, on both the sort codes and the
+    # window stats.
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        hilbert_codes, window_normal_stats,
+    )
+
+    pts = rng.uniform(-8, 8, size=(2000, 3)).astype(np.float32)
+    buf, _ = _buf(pts)
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(buf.mask[None, :], buf.positions, big), axis=-1)
+    hi = jnp.max(jnp.where(buf.mask[None, :], buf.positions, -big), axis=-1)
+
+    c_default = np.asarray(hilbert_codes(buf.positions, buf.mask, 128.0))
+    c_bounds = np.asarray(
+        hilbert_codes(buf.positions, buf.mask, 128.0, bounds=(lo, hi))
+    )
+    np.testing.assert_array_equal(c_default, c_bounds)
+
+    m_default = window_mean_knn_dist(buf.positions, buf.mask, k=8)
+    m_bounds = window_mean_knn_dist(
+        buf.positions, buf.mask, k=8, bounds=(lo, hi)
+    )
+    np.testing.assert_array_equal(np.asarray(m_default), np.asarray(m_bounds))
+
+    e_default, n_default = window_normal_stats(buf.positions, buf.mask, 0.5)
+    e_bounds, n_bounds = window_normal_stats(
+        buf.positions, buf.mask, 0.5, bounds=(lo, hi)
+    )
+    np.testing.assert_array_equal(np.asarray(e_default), np.asarray(e_bounds))
+    np.testing.assert_array_equal(np.asarray(n_default), np.asarray(n_bounds))
+
+
+def test_window_bounds_enlarged_box_still_accurate(rng):
+    # a DIFFERENT (larger) quantization box changes the curve but must not
+    # change what the stats mean: kNN-mean classification stays accurate
+    # (this is the sharded regime, where the global box is larger than any
+    # one shard's local bbox).
+    xy = rng.uniform(-5, 5, size=(3000, 2)).astype(np.float32)
+    z = 0.05 * np.sin(xy[:, 0]) + rng.normal(0, 0.01, 3000)
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    buf, _ = _buf(pts)
+    lo = jnp.asarray([-20.0, -20.0, -20.0], jnp.float32)
+    hi = jnp.asarray([20.0, 20.0, 20.0], jnp.float32)
+    k = 8
+    approx = np.asarray(
+        window_mean_knn_dist(buf.positions, buf.mask, k=k, bounds=(lo, hi))
+    )[:3000]
+    d_exact, _ = knn_exact(buf.positions, buf.mask, k=k)
+    exact_mean = np.sqrt(np.asarray(d_exact))[:3000].mean(axis=1)
+    thr_a = approx.mean() + approx.std()
+    thr_e = exact_mean.mean() + exact_mean.std()
+    agree = ((approx <= thr_a) == (exact_mean <= thr_e)).mean()
+    # slightly looser than the local-box floor: a 4x larger box costs two
+    # levels of curve resolution (measured 0.9697 here vs 0.973 local)
+    assert agree > 0.96, agree
