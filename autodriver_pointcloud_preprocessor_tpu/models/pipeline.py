@@ -110,14 +110,16 @@ class PipelineSettings:
     #: or punches holes in the compacted prefix.
     voxel_curve_order: bool = True
     #: compact voxel sort keys (requires voxel_curve_order): the hilbert
-    #: key alone identifies the voxel — ~0.15 ms cheaper at 131k. ONLY
-    #: safe when live points span at most 1008 voxel cells per axis
-    #: (e.g. crop ROI with roi_span <= 1008 * voxel_size; the curve box
-    #: is 1024^3 and the center shift plus floor quantization consume up
-    #: to 16 cells of margin — out-of-box voxels would be silently
-    #: mis-merged). settings_from_config auto-derives this from the
-    #: ROI/voxel-size parameters; default off for safety.
-    voxel_compact_keys: bool = False
+    #: key alone identifies the voxel. Tier 'box' (True is an alias):
+    #: one 30-bit key, live span at most 1008 voxel cells per axis
+    #: (~0.15 ms cheaper at 131k). Tier 'wide': two int32 keys (60-bit
+    #: hilbert), span up to 2^20-64 cells (drops 2 of 7 sort keys under
+    #: fused dedup — the big win on wide scenes, e.g. the 1M merged-
+    #: cloud config). Out-of-box voxels would be silently mis-merged, so
+    #: the span promise is on the caller; settings_from_config auto-
+    #: derives the tier from the ROI/voxel-size parameters
+    #: (_compact_keys_tier); default off for safety.
+    voxel_compact_keys: bool | str = False
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
@@ -385,7 +387,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                         b, p.voxel_size, backend=vb, dedup_exact=fuse_dedup,
                         curve_order=presorted,
                         compact_keys=(
-                            settings.voxel_compact_keys and presorted
+                            settings.voxel_compact_keys if presorted else False
                         ),
                     ),
                     None,
@@ -609,6 +611,39 @@ def build_pipeline(settings: PipelineSettings):
     return jax.jit(pipeline_runner(settings))
 
 
+def _compact_keys_tier(cfg: Dict[str, object]):
+    """Derive the voxel compact-key tier from the ROI/voxel-size bound.
+
+    Returns ``'box'`` when the crop ROI fits the 1024^3 hilbert box at
+    this voxel size (span <= 1008 cells), ``'wide'`` when it fits the
+    2^20-cell box (two-key 60-bit hilbert, ops/voxel.py), else False.
+    Compact keys silently mis-merge out-of-box voxels, so the ROI must
+    genuinely bound the live points: crop enabled, not inverted.
+    """
+    if not bool(cfg.get("voxel_compact_keys", True)):
+        return False
+    if not bool(cfg.get("crop_to_roi", True)):
+        return False
+    if bool(cfg.get("crop_to_roi.invert", False)):
+        return False
+    voxel = float(cfg.get("voxel_size", 0.01))
+    if voxel <= 0.0:
+        return False
+    span = max(
+        hi - lo
+        for lo, hi in zip(
+            cfg.get("roi_min", (-60.0, -60.0, -20.0)),
+            cfg.get("roi_max", (60.0, 60.0, 20.0)),
+        )
+    )
+    cells = span / voxel
+    if cells <= 1008.0:
+        return "box"
+    if cells <= float((1 << 20) - 64):
+        return "wide"
+    return False
+
+
 def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
     """Map reference-named parameters -> static settings.
 
@@ -655,25 +690,14 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         ground_before_voxel=bool(
             cfg.get("remove_ground.before_voxel", False)
         ),
-        # compact voxel sort keys are safe iff the crop ROI fits inside
-        # the 1024^3 hilbert box at this voxel size (both host-side
-        # floats here; numeric reconfigure of either re-derives this and
-        # recompiles only when the answer flips). A 'voxel_compact_keys'
-        # key can force it off.
-        voxel_compact_keys=bool(cfg.get("voxel_compact_keys", True))
-        and bool(cfg.get("crop_to_roi", True))
-        and not bool(cfg.get("crop_to_roi.invert", False))
-        and float(cfg.get("voxel_size", 0.01)) > 0.0
-        and (
-            max(
-                hi - lo
-                for lo, hi in zip(
-                    cfg.get("roi_min", (-60.0, -60.0, -20.0)),
-                    cfg.get("roi_max", (60.0, 60.0, 20.0)),
-                )
-            )
-            <= 1008.0 * float(cfg.get("voxel_size", 0.01))
-        ),
+        # compact voxel sort keys are safe iff the crop ROI bounds the
+        # live span at this voxel size: tier 'box' (one 30-bit key) for
+        # spans <= 1008 cells, tier 'wide' (two int32 keys, 60-bit
+        # hilbert) up to 2^20-64 cells — effectively any croppable scene
+        # (both host-side floats here; numeric reconfigure of either
+        # re-derives this and recompiles only when the answer flips). A
+        # 'voxel_compact_keys' key can force it off.
+        voxel_compact_keys=_compact_keys_tier(cfg),
         ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),

@@ -34,7 +34,7 @@ def voxel_downsample(
     backend: str = "auto",
     dedup_exact: bool = False,
     curve_order: bool = False,
-    compact_keys: bool = False,
+    compact_keys: bool | str = False,
 ) -> ScanBuffer:
     """Average live points within each cubic voxel of edge ``voxel_size``.
 
@@ -73,21 +73,28 @@ def voxel_downsample(
     x-major voxel-key order); the pipeline has no order contract after
     this stage.
 
-    ``compact_keys=True`` (requires ``curve_order``; caller promises the
-    live points span at most 1008 voxel cells per axis, e.g. ROI-cropped
-    input with roi_span <= 1008 * voxel_size — the curve box is 1024^3
-    and the center shift plus floor quantization consume up to 16 cells
-    of margin, so exactly-1024-cell spans clip at the faces and would
-    silently merge distinct voxels): drops the exact voxel /
-    coordinate-bit secondary keys — the hilbert key alone identifies the
-    voxel (it is bijective inside the box), so the exact voxel-index
-    keys drop out of the sort: 4 keys + attrs instead of 7 (dedup) /
-    1 key + positions instead of 4 (no dedup) — ~0.1-0.15 ms at 131k.
-    Dedup stays EXACT (the bit-exact coordinate keys remain and double
-    as the position payload). ONE caveat: out-of-box voxels WOULD be
-    mis-merged (the in-box promise is on the caller — the node
-    auto-enables this only when the crop ROI fits,
-    models/pipeline.settings_from_config).
+    ``compact_keys`` (requires ``curve_order``) drops the exact
+    voxel-index secondary keys from the sort — the hilbert key alone
+    identifies the voxel (bijective inside its curve box). Dedup stays
+    EXACT (the bit-exact coordinate keys remain and double as the
+    position payload). Two tiers, chosen STATICALLY by the caller from
+    the ROI/voxel-size bound (models/pipeline.settings_from_config);
+    out-of-box voxels WOULD be silently mis-merged, so the in-box
+    promise is on the caller:
+
+    * ``'box'`` (``True`` is an alias): one 30-bit hilbert key over the
+      1024^3 curve box. Caller promises the live points span at most
+      1008 voxel cells per axis (the center shift plus floor
+      quantization consume up to 16 cells of margin). 4 keys + attrs
+      instead of 7 (dedup) / 1 key + positions instead of 4 (no dedup)
+      — ~0.1-0.15 ms at 131k.
+    * ``'wide'``: a 60-bit hilbert index carried as TWO int32 keys
+      (ops/window.hilbert_cell_codes_wide) over a 2^20-cell box —
+      10.5 km span at 0.01 m voxels, so effectively any real scene a
+      crop ROI can bound (margin: 64 cells). 5 keys + attrs instead of
+      7 (dedup) / 2 keys + positions instead of 4 (no dedup); the curve
+      box never clips in-promise points, so far-field curve locality is
+      BETTER than the non-compact 1024-box order.
     """
     n = buf.capacity
     valid = buf.mask
@@ -126,26 +133,35 @@ def voxel_downsample(
     # fallback; validity is derived from the sort keys post-sort — every
     # dropped channel saves ~0.02-0.03 ms at 131k (PERF_NOTES.md).
     idx_rows = (jnp.arange(n, dtype=jnp.int32),) if gather_attrs else ()
+    if compact_keys and not curve_order:
+        raise ValueError("compact_keys requires curve_order")
+    if compact_keys is True:
+        compact_keys = "box"
+    if compact_keys not in (False, "box", "wide"):
+        raise ValueError(f"unknown compact_keys tier {compact_keys!r}")
     if curve_order:
-        # Hilbert code of the voxel cell, center-shifted into the
-        # 1024^3 curve box and clipped at its faces. Same-voxel rows get
-        # the same code (grouping preserved by the exact secondary
-        # keys); invalid rows get the sentinel (sort last). Cell size ==
-        # voxel size, i.e. one point per cell post-voxel — full curve
-        # resolution for the downstream window stage at any scene scale.
-        from .window import hilbert_cell_codes
+        # Hilbert code of the voxel cell, center-shifted into the curve
+        # box and clipped at its faces. Same-voxel rows get the same
+        # code (grouping preserved by the exact secondary keys — or by
+        # in-box bijectivity under compact_keys); invalid rows get the
+        # sentinel (sort last). Cell size == voxel size, i.e. one point
+        # per cell post-voxel — full curve resolution for the downstream
+        # window stage at any scene scale.
+        from .window import hilbert_cell_codes, hilbert_cell_codes_wide
 
+        half = 1 << 19 if compact_keys == "wide" else 512
         cells = []
         for v in (vx, vy, vz):
             lo = jnp.min(jnp.where(valid, v, big))
             hi = jnp.max(jnp.where(valid, v, -big))
             center = lo + (hi - lo) // 2
-            cells.append(jnp.clip(v - center + 512, 0, 1023))
-        hkey = (hilbert_cell_codes(cells, valid),)
+            cells.append(jnp.clip(v - center + half, 0, 2 * half - 1))
+        if compact_keys == "wide":
+            hkey = hilbert_cell_codes_wide(cells, valid)
+        else:
+            hkey = (hilbert_cell_codes(cells, valid),)
     else:
         hkey = ()
-    if compact_keys and not curve_order:
-        raise ValueError("compact_keys requires curve_order")
     if dedup_exact:
         from .dedup import _coordinate_keys
 
@@ -155,19 +171,20 @@ def voxel_downsample(
             # so the exact voxel-index keys drop out entirely; the
             # bit-exact coordinate keys remain (duplicates adjacent,
             # EXACT dedup) and double as the position payload via the
-            # usual bitcast restore: 4 keys + attrs vs the exact path's
-            # 7 keys + attrs.
+            # usual bitcast restore: 4 ('box') / 5 ('wide') keys + attrs
+            # vs the exact path's 7 keys + attrs.
+            nh = len(hkey)
             sorted_ops = jax.lax.sort(
                 (*hkey, kx, ky, kz, *idx_rows, *float_rows),
-                num_keys=4,
+                num_keys=nh + 3,
                 is_stable=True,
             )
-            sh = sorted_ops[0]
-            skx, sky, skz = sorted_ops[1], sorted_ops[2], sorted_ops[3]
+            shk = sorted_ops[:nh]
+            skx, sky, skz = sorted_ops[nh], sorted_ops[nh + 1], sorted_ops[nh + 2]
             px = jax.lax.bitcast_convert_type(skx, jnp.float32)
             py = jax.lax.bitcast_convert_type(sky, jnp.float32)
             pz = jax.lax.bitcast_convert_type(skz, jnp.float32)
-            rest = sorted_ops[4:]
+            rest = sorted_ops[nh + 3:]
         else:
             # the bit-exact key rows ARE the positions (canonicalized
             # -0.0 -> +0.0, value-equal; invalid rows become the NaN
@@ -178,7 +195,7 @@ def voxel_downsample(
                 num_keys=6 + len(hkey),
                 is_stable=True,
             )
-            sh = sorted_ops[0] if curve_order else None
+            shk = sorted_ops[:len(hkey)]
             sorted_ops = sorted_ops[len(hkey):]
             sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
             skx, sky, skz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
@@ -188,21 +205,22 @@ def voxel_downsample(
             rest = sorted_ops[6:]
     elif compact_keys:
         # the hilbert key alone is the voxel identity (bijective in-box)
+        nh = len(hkey)
         sorted_ops = jax.lax.sort(
             (*hkey, x, y, z, *idx_rows, *float_rows),
-            num_keys=1,
+            num_keys=nh,
             is_stable=True,
         )
-        sh = sorted_ops[0]
-        px, py, pz = sorted_ops[1], sorted_ops[2], sorted_ops[3]
-        rest = sorted_ops[4:]
+        shk = sorted_ops[:nh]
+        px, py, pz = sorted_ops[nh], sorted_ops[nh + 1], sorted_ops[nh + 2]
+        rest = sorted_ops[nh + 3:]
     else:
         sorted_ops = jax.lax.sort(
             (*hkey, vx, vy, vz, x, y, z, *idx_rows, *float_rows),
             num_keys=3 + len(hkey),
             is_stable=True,
         )
-        sh = sorted_ops[0] if curve_order else None
+        shk = sorted_ops[:len(hkey)]
         sorted_ops = sorted_ops[len(hkey):]
         sx, sy, sz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
         px, py, pz = sorted_ops[3], sorted_ops[4], sorted_ops[5]
@@ -210,8 +228,9 @@ def voxel_downsample(
     # validity derived from the sort keys: invalid rows carry the int
     # sentinel (hilbert 0x7FFFFFFF / voxel-index `big`; a valid point
     # only reaches `big` on quantization overflow, where results are
-    # already undefined)
-    svalid = (sh < jnp.int32(0x7FFFFFFF)) if curve_order else (sx < big)
+    # already undefined). Live hilbert codes stay below the sentinel
+    # (30-bit interleaves), so the FIRST curve key suffices.
+    svalid = (shk[0] < jnp.int32(0x7FFFFFFF)) if curve_order else (sx < big)
     if gather_attrs:
         sidx, sorted_attr_rows = rest[0], list(rest[1:])
     else:
@@ -219,7 +238,10 @@ def voxel_downsample(
 
     new_group = jnp.ones(n, dtype=bool)
     if compact_keys:
-        same = sh[1:] == sh[:-1]  # hilbert key == voxel identity in-box
+        # hilbert key(s) == voxel identity in-box (1 row 'box', 2 'wide')
+        same = shk[0][1:] == shk[0][:-1]
+        for k in shk[1:]:
+            same = same & (k[1:] == k[:-1])
     else:
         same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
     new_group = new_group.at[1:].set(jnp.logical_not(same))

@@ -40,6 +40,7 @@ __all__ = [
     "fused_neighborhood_stats_reordered",
     "hilbert_codes",
     "hilbert_cell_codes",
+    "hilbert_cell_codes_wide",
     "morton_codes",
     "window_mean_knn_dist",
     "window_normal_stats",
@@ -109,19 +110,18 @@ def morton_codes(
     return jnp.where(mask, code, jnp.int32(0x7FFFFFFF))
 
 
-def hilbert_cell_codes(cells, mask: jax.Array) -> jax.Array:
-    """30-bit Hilbert index from integer cells, invalid rows pushed last.
+def _hilbert_transpose(cells, bits: int):
+    """Skilling: integer coordinates -> transposed Hilbert index.
 
-    ``cells``: three int32 [N] rows in [0, 1023] (callers quantize —
-    from float positions via ``_quantize_axes``, or from voxel indices
-    for the curve-ordered voxel sort, ops/voxel.py). Skilling's
-    transpose algorithm, fully unrolled and branch-free over [N] int32
-    rows (data-dependent branches become ``where`` selects).
+    ``cells``: three int32 [N] rows in [0, 2**bits). Fully unrolled and
+    branch-free over [N] int32 rows (data-dependent branches become
+    ``where`` selects). The returned transposed rows interleave to the
+    Hilbert index with X[0] carrying each level's most significant bit.
     """
     X = list(cells)
 
     # --- Skilling: coordinates -> transposed Hilbert index ---
-    M = 1 << (_BITS - 1)
+    M = 1 << (bits - 1)
     Q = M
     while Q > 1:
         P = jnp.int32(Q - 1)
@@ -146,9 +146,17 @@ def hilbert_cell_codes(cells, mask: jax.Array) -> jax.Array:
         cond = (X[2] & Q) != 0
         t = jnp.where(cond, t ^ jnp.int32(Q - 1), t)
         Q >>= 1
-    for i in range(3):
-        X[i] = X[i] ^ t
+    return [x ^ t for x in X]
 
+
+def hilbert_cell_codes(cells, mask: jax.Array) -> jax.Array:
+    """30-bit Hilbert index from integer cells, invalid rows pushed last.
+
+    ``cells``: three int32 [N] rows in [0, 1023] (callers quantize —
+    from float positions via ``_quantize_axes``, or from voxel indices
+    for the curve-ordered voxel sort, ops/voxel.py).
+    """
+    X = _hilbert_transpose(cells, _BITS)
     # interleave transposed bits: X[0] carries the most significant bit
     code = (
         (_spread_bits_10(X[0]) << 2)
@@ -156,6 +164,35 @@ def hilbert_cell_codes(cells, mask: jax.Array) -> jax.Array:
         | _spread_bits_10(X[2])
     )
     return jnp.where(mask, code, jnp.int32(0x7FFFFFFF))
+
+
+def hilbert_cell_codes_wide(cells, mask: jax.Array):
+    """60-bit Hilbert index as an (hi, lo) int32 key pair, invalid last.
+
+    ``cells``: three int32 [N] rows in [0, 2**20). Lexicographic order on
+    ``(hi, lo)`` equals the full 60-bit Hilbert index order, and the pair
+    is bijective in the cell (Skilling's transform is a bijection and the
+    bit interleave is injective), so a variadic sort on the two keys both
+    CURVE-ORDERS and GROUPS voxels exactly — the tier-2 compact-key mode
+    of ops/voxel.voxel_downsample for scenes wider than the 1024-cell box
+    (e.g. an 80 m ROI at 0.05 m voxels = 1600 cells). ``hi`` is the
+    30-bit interleave of each axis's top 10 bits, ``lo`` of the low 10;
+    both stay below the int32 sentinel 0x7FFFFFFF.
+    """
+    X = _hilbert_transpose(cells, 20)
+    lo10 = jnp.int32(0x3FF)
+    hi = (
+        (_spread_bits_10((X[0] >> 10) & lo10) << 2)
+        | (_spread_bits_10((X[1] >> 10) & lo10) << 1)
+        | _spread_bits_10((X[2] >> 10) & lo10)
+    )
+    lo = (
+        (_spread_bits_10(X[0] & lo10) << 2)
+        | (_spread_bits_10(X[1] & lo10) << 1)
+        | _spread_bits_10(X[2] & lo10)
+    )
+    sent = jnp.int32(0x7FFFFFFF)
+    return jnp.where(mask, hi, sent), jnp.where(mask, lo, sent)
 
 
 def hilbert_codes(

@@ -343,9 +343,11 @@ def config6_merged_1m(reps):
         # 0.05 — 409600 leaves ~12% headroom so the cap never engages).
         # Measured 10.85 -> 8.21 ms; knn_d2mode='fast3' is SLOWER here
         # too (8.53 — the r3 negative result holds at 1M).
-        # voxel_compact_keys stays off: 80 m span / 0.05 = 1600 cells
-        # exceeds the 1008-cell hilbert box.
+        # 80 m span / 0.05 = 1600 cells exceeds the 1008-cell 'box'
+        # hilbert tier, so the two-key 60-bit 'wide' tier engages: 5
+        # sort keys instead of 7 on the dominant 1M voxel sort.
         ground_before_voxel=True,
+        voxel_compact_keys="wide",
         post_downsample_capacity=409_600,
     )
     from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (

@@ -276,15 +276,15 @@ def test_segment_plane_live_prefix_matches_general(rng):
 
 
 def test_voxel_compact_keys_matches_exact(rng):
-    """compact_keys (hilbert==voxel identity + hashed dedup adjacency)
-    must reproduce the exact-key path on in-box input, duplicates and
-    invalid rows included."""
-    pts = rng.uniform(-5, 5, (900, 3)).astype(np.float32)
-    pts[40:90] = pts[39]  # duplicate run
-    pts[::23] = np.nan
-    buf0, _ = _buf(pts, intensity=rng.uniform(size=900).astype(np.float32),
-                   ring=rng.integers(0, 16, 900).astype(np.uint16))
-    buf0 = buf0.with_mask(buf0.mask & jnp.isfinite(buf0.positions).all(0))
+    """Both compact-key tiers ('box' 30-bit, 'wide' two-key 60-bit) must
+    reproduce the exact-key path on in-box input, duplicates and invalid
+    rows included. The wide tier additionally runs on a scene WIDER than
+    the 1024-cell box (where 'box' would be out of contract)."""
+    scenes = {
+        "box": rng.uniform(-5, 5, (900, 3)).astype(np.float32),
+        # 120 m span at 0.05 voxels = 2400 cells: beyond the box tier
+        "wide": rng.uniform(-60, 60, (900, 3)).astype(np.float32),
+    }
 
     def canon(b):
         m = np.asarray(b.mask)
@@ -293,48 +293,66 @@ def test_voxel_compact_keys_matches_exact(rng):
         att = {k: np.asarray(v)[..., m][..., order] for k, v in b.attributes.items()}
         return P[:, order], att
 
-    for dedup in (False, True):
-        a = voxel_downsample(buf0, 0.5, backend="xla", dedup_exact=dedup,
-                             curve_order=True, compact_keys=False)
-        b = voxel_downsample(buf0, 0.5, backend="xla", dedup_exact=dedup,
-                             curve_order=True, compact_keys=True)
-        Pa, Aa = canon(a)
-        Pb, Ab = canon(b)
-        np.testing.assert_allclose(Pa, Pb, atol=2e-6)
-        # float attrs are segment means — identical
-        np.testing.assert_allclose(Aa["intensity"], Ab["intensity"], atol=1e-5)
-        # int attrs take the FIRST segment row, and "first" differs
-        # between the exact (coordinate-bit order) and compact (hash
-        # order) sorts — assert membership: the compact ring must be one
-        # of that voxel's input rings (same documented divergence class
-        # as the fused-vs-unfused dedup paths, ops/voxel.py docstring)
-        live = np.asarray(buf0.mask)
-        vox_in = np.floor(np.asarray(buf0.positions)[:, live] / 0.5).astype(int)
-        ring_in = np.asarray(buf0.attributes["ring"])[live]
-        members = {}
-        for (vx_, vy_, vz_), r in zip(vox_in.T, ring_in):
-            members.setdefault((vx_, vy_, vz_), set()).add(int(r))
-        vox_out = np.floor(Pb / 0.5).astype(int)
-        for (vx_, vy_, vz_), r in zip(vox_out.T, Ab["ring"]):
-            assert int(r) in members[(vx_, vy_, vz_)]
-        mb = np.asarray(b.mask)
-        cnt = int(mb.sum())
-        assert mb[:cnt].all() and not mb[cnt:].any()
+    for tier, pts in scenes.items():
+        vs = 0.5 if tier == "box" else 0.05
+        pts = pts.copy()
+        pts[40:90] = pts[39]  # duplicate run
+        pts[::23] = np.nan
+        buf0, _ = _buf(pts, intensity=rng.uniform(size=900).astype(np.float32),
+                       ring=rng.integers(0, 16, 900).astype(np.uint16))
+        buf0 = buf0.with_mask(buf0.mask & jnp.isfinite(buf0.positions).all(0))
+
+        for dedup in (False, True):
+            a = voxel_downsample(buf0, vs, backend="xla", dedup_exact=dedup,
+                                 curve_order=True, compact_keys=False)
+            b = voxel_downsample(buf0, vs, backend="xla", dedup_exact=dedup,
+                                 curve_order=True, compact_keys=tier)
+            Pa, Aa = canon(a)
+            Pb, Ab = canon(b)
+            np.testing.assert_allclose(Pa, Pb, atol=2e-6)
+            # float attrs are segment means — identical
+            np.testing.assert_allclose(Aa["intensity"], Ab["intensity"],
+                                       atol=1e-5)
+            # int attrs take the FIRST segment row in (curve, coordinate-
+            # bit) order on both paths — but the curve key differs (box-
+            # clipped vs wide), so assert membership: the compact ring
+            # must be one of that voxel's input rings
+            live = np.asarray(buf0.mask)
+            vox_in = np.floor(
+                np.asarray(buf0.positions)[:, live] / vs
+            ).astype(int)
+            ring_in = np.asarray(buf0.attributes["ring"])[live]
+            members = {}
+            for (vx_, vy_, vz_), r in zip(vox_in.T, ring_in):
+                members.setdefault((vx_, vy_, vz_), set()).add(int(r))
+            vox_out = np.floor(Pb / vs).astype(int)
+            for (vx_, vy_, vz_), r in zip(vox_out.T, Ab["ring"]):
+                assert int(r) in members[(vx_, vy_, vz_)]
+            mb = np.asarray(b.mask)
+            cnt = int(mb.sum())
+            assert mb[:cnt].all() and not mb[cnt:].any()
 
     import pytest
     with pytest.raises(ValueError):
         voxel_downsample(buf0, 0.5, curve_order=False, compact_keys=True)
+    with pytest.raises(ValueError):
+        voxel_downsample(buf0, 0.5, curve_order=True, compact_keys="huge")
 
 
 def test_settings_derive_compact_keys():
     from autodriver_pointcloud_preprocessor_tpu.models import settings_from_config
 
-    # small ROI at default voxel -> safe
+    # small ROI at default voxel -> box tier
     s = settings_from_config({"voxel_size": 0.1, "roi_min": (-40, -40, -5),
                               "roi_max": (40, 40, 5)})
-    assert s.voxel_compact_keys
-    # ROI span exceeds 1008 cells -> off
+    assert s.voxel_compact_keys == "box"
+    # ROI span exceeds 1008 cells -> wide tier (two-key 60-bit hilbert)
     s = settings_from_config({"voxel_size": 0.05, "roi_min": (-40, -40, -5),
+                              "roi_max": (40, 40, 5)})
+    assert s.voxel_compact_keys == "wide"
+    # span beyond the 2^20-cell wide box -> off
+    s = settings_from_config({"voxel_size": 0.00005,
+                              "roi_min": (-40, -40, -5),
                               "roi_max": (40, 40, 5)})
     assert not s.voxel_compact_keys
     # inverted crop keeps the unbounded outside -> off

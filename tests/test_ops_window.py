@@ -37,6 +37,43 @@ def test_morton_invalid_rows_last():
     assert (codes[:4] < 0x7FFFFFFF).all()
 
 
+def test_hilbert_wide_true_curve_on_aligned_subcube(rng):
+    """hilbert_cell_codes_wide must be a genuine 20-bit/axis Hilbert
+    index: restricted to an 8^3 subcube ALIGNED to the curve hierarchy
+    (offset a multiple of 8), the curve visits the subcube contiguously
+    and each step moves to a face-adjacent cell. Verifies order AND
+    bijectivity of the (hi, lo) int32 pair in one shot."""
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        hilbert_cell_codes_wide,
+    )
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        off = (r.integers(0, (1 << 20) // 8, 3) * 8).astype(np.int64)
+        g = np.stack(
+            np.meshgrid(*[np.arange(8)] * 3, indexing="ij"), 0
+        ).reshape(3, -1)
+        cells = [jnp.asarray((g[c] + off[c]).astype(np.int32)) for c in range(3)]
+        mask = jnp.ones(512, bool)
+        hi, lo = hilbert_cell_codes_wide(cells, mask)
+        full = np.asarray(hi).astype(np.int64) * (1 << 30) + np.asarray(lo)
+        order = np.argsort(full)
+        f = full[order]
+        # contiguous visit: 512 consecutive curve positions (bijective)
+        assert (np.diff(f) == 1).all()
+        # each step is face-adjacent: |delta| == 1 on exactly one axis
+        path = g[:, order]
+        d = np.abs(np.diff(path, axis=1))
+        assert (d.sum(axis=0) == 1).all()
+
+    # masked rows carry the sentinel in BOTH keys
+    hi, lo = hilbert_cell_codes_wide(
+        [jnp.zeros(4, jnp.int32)] * 3, jnp.array([True, False, True, False])
+    )
+    assert np.asarray(hi)[1] == 0x7FFFFFFF and np.asarray(lo)[3] == 0x7FFFFFFF
+    assert np.asarray(hi)[0] < 0x7FFFFFFF
+
+
 def test_window_mean_knn_vs_exact(rng):
     # surface-like cloud (LiDAR-ish): window stats track exact kNN closely
     xy = rng.uniform(-5, 5, size=(2000, 2)).astype(np.float32)
