@@ -106,11 +106,15 @@ def subsample_to(buf: ScanBuffer, capacity: int) -> ScanBuffer:
         rows = v.reshape(-1, n)
         specs.append((k, v.shape, rows.shape[0]))
         flat_attrs.extend(rows[i] for i in range(rows.shape[0]))
+    # unstable: valid rows' priorities are effectively distinct (hash of
+    # the index; rare collisions only shuffle which of two RANDOM-priority
+    # rows wins a boundary slot) and the invalid tail is masked anyway —
+    # stability would only add the implicit iota tiebreak key's cost.
     out = jax.lax.sort(
         (pri, buf.positions[0], buf.positions[1], buf.positions[2],
          buf.mask, *flat_attrs),
         num_keys=1,
-        is_stable=True,
+        is_stable=False,
     )
     _, sx, sy, sz, sm, *sattrs = out
     attrs = {}

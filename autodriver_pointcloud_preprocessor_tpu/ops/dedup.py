@@ -52,8 +52,9 @@ def duplicate_mask(positions: jax.Array, valid: jax.Array) -> jax.Array:
     )
     first = first.at[1:].set(jnp.logical_not(same_as_prev))
     keep_sorted = first & sval
-    # restore original order by sorting on the carried index
-    _, keep = jax.lax.sort((sidx, keep_sorted), num_keys=1, is_stable=True)
+    # restore original order by sorting on the carried index (a
+    # permutation: unstable == stable, minus the implicit iota tiebreak)
+    _, keep = jax.lax.sort((sidx, keep_sorted), num_keys=1, is_stable=False)
     return keep
 
 

@@ -133,6 +133,17 @@ def voxel_downsample(
     # fallback; validity is derived from the sort keys post-sort — every
     # dropped channel saves ~0.02-0.03 ms at 131k (PERF_NOTES.md).
     idx_rows = (jnp.arange(n, dtype=jnp.int32),) if gather_attrs else ()
+    # A stable sort pays an implicit iota tiebreak key (~0.7 ms at 1M,
+    # ~21% of a 5-key sort — measured round 3). Stability only matters
+    # when equal-key row ORDER is observable: a first-of-segment int
+    # representative rides the sort, or dedup_exact must keep the FIRST
+    # duplicate's attributes (reference np.unique return_index keeps the
+    # first occurrence, utils.py:532-534). Segment MEANS are
+    # order-independent (fp summation order aside), so attr-less and
+    # mean-only sorts drop stability for free.
+    needs_stable = bool(first_slices) or bool(gather_attrs) or (
+        dedup_exact and bool(float_rows)
+    )
     if compact_keys and not curve_order:
         raise ValueError("compact_keys requires curve_order")
     if compact_keys is True:
@@ -177,7 +188,7 @@ def voxel_downsample(
             sorted_ops = jax.lax.sort(
                 (*hkey, kx, ky, kz, *idx_rows, *float_rows),
                 num_keys=nh + 3,
-                is_stable=True,
+                is_stable=needs_stable,
             )
             shk = sorted_ops[:nh]
             skx, sky, skz = sorted_ops[nh], sorted_ops[nh + 1], sorted_ops[nh + 2]
@@ -193,7 +204,7 @@ def voxel_downsample(
             sorted_ops = jax.lax.sort(
                 (*hkey, vx, vy, vz, kx, ky, kz, *idx_rows, *float_rows),
                 num_keys=6 + len(hkey),
-                is_stable=True,
+                is_stable=needs_stable,
             )
             shk = sorted_ops[:len(hkey)]
             sorted_ops = sorted_ops[len(hkey):]
@@ -209,7 +220,7 @@ def voxel_downsample(
         sorted_ops = jax.lax.sort(
             (*hkey, x, y, z, *idx_rows, *float_rows),
             num_keys=nh,
-            is_stable=True,
+            is_stable=needs_stable,
         )
         shk = sorted_ops[:nh]
         px, py, pz = sorted_ops[nh], sorted_ops[nh + 1], sorted_ops[nh + 2]
@@ -218,7 +229,7 @@ def voxel_downsample(
         sorted_ops = jax.lax.sort(
             (*hkey, vx, vy, vz, x, y, z, *idx_rows, *float_rows),
             num_keys=3 + len(hkey),
-            is_stable=True,
+            is_stable=needs_stable,
         )
         shk = sorted_ops[:len(hkey)]
         sorted_ops = sorted_ops[len(hkey):]

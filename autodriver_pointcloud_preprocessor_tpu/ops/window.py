@@ -318,8 +318,13 @@ def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True,
 
 
 def _unsort(sidx, rows):
-    """Restore original order by sorting on the carried index row."""
-    out = jax.lax.sort((sidx, *rows), num_keys=1, is_stable=True)
+    """Restore original order by sorting on the carried index row.
+
+    ``sidx`` is a permutation (all keys distinct), so an unstable sort is
+    bit-identical to a stable one and skips the implicit iota tiebreak
+    key a stable sort pays (~20% of sort cost — PERF_NOTES.md round 3).
+    """
+    out = jax.lax.sort((sidx, *rows), num_keys=1, is_stable=False)
     return out[1:]
 
 

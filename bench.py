@@ -135,12 +135,25 @@ def main() -> None:
     )
 
     # --- p50 LATENCY: K chained invocations inside ONE program -----------
+    # The reduction must consume EVERY output leaf (positions, MASK,
+    # attributes, plane): anything unconsumed is dead code XLA deletes
+    # from the chained program, so mask-only tail stages (outlier
+    # filters) would silently drop out of the measurement (caught round
+    # 3 — a ground-only suite config read 0.001 ms). NaN-sentinel rows
+    # are zeroed so they cannot poison the perturbation chain.
+    def _consume(out):
+        def red(leaf):
+            f = leaf.astype(jnp.float32)
+            return jnp.sum(jnp.where(jnp.isfinite(f), f, 0.0))
+
+        return sum(red(leaf) for leaf in jax.tree_util.tree_leaves(out))
+
     @functools.partial(jax.jit, static_argnames=("n_iter",))
     def chain(b0, p, k0, n_iter):
         def body(i, acc):
             b = b0.replace(positions=b0.positions * (1.0 + acc * 1e-30))
-            o, pl = runner(b, p, jax.random.fold_in(k0, i))
-            return acc + (jnp.sum(o.positions[:, :2]) + jnp.sum(pl)) * 1e-30
+            out = runner(b, p, jax.random.fold_in(k0, i))
+            return acc + _consume(out) * 1e-30
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
     K = 32
@@ -171,8 +184,7 @@ def main() -> None:
     kstack = jax.random.split(key, B)
 
     def one(bk):
-        o, pl = runner(bk[0], params, bk[1])
-        return jnp.sum(o.positions[:, :2]) + jnp.sum(pl)
+        return _consume(runner(bk[0], params, bk[1]))
 
     @jax.jit
     def batched(bs, ks):

@@ -20,12 +20,18 @@ import time
 import numpy as np
 
 
-def _chained_ms(runner, buf, params, key, reps=5, K=16, perturb=None):
-    """In-jit chained device latency (bench.py methodology): K pipeline
-    invocations chained through a scalar data dependency inside ONE
-    program; per-scan = (T(K) - T(1)) / (K - 1). Dispatch-free — the
-    suite's earlier independent-dispatch numbers included ~0.5-3 ms of
-    tunnel queue overhead per call (PERF_NOTES.md round-3 finding)."""
+def _make_chain(runner, perturb=None):
+    """Jitted K-fold in-jit chain over ``runner`` (static ``n_iter``).
+
+    The reduction consumes EVERY output leaf (positions, MASK, attrs,
+    plane). Anything unconsumed is dead code XLA deletes from the
+    chained program — mask-only stages (RANSAC, outlier filters) vanish
+    and the bench silently measures a shorter pipeline (caught round 3:
+    a ground-only config read 0.001 ms at K=1024). Full-leaf sums cost
+    <0.05 ms total; NaN-sentinel rows are zeroed so they cannot poison
+    the perturbation chain. Exposed at module level so the harness tests
+    can compile it and assert mask-only work survives in the HLO.
+    """
     import functools
 
     import jax
@@ -39,20 +45,48 @@ def _chained_ms(runner, buf, params, key, reps=5, K=16, perturb=None):
     def chain(b0, p, k0, n_iter):
         def body(i, acc):
             out = runner(perturb(b0, acc), p, jax.random.fold_in(k0, i))
-            o = out[0] if isinstance(out, tuple) else out
-            return acc + jnp.sum(o.positions[:, :2]) * 1e-30
+            leaves = jax.tree_util.tree_leaves(out)
+
+            def red(leaf):
+                f = leaf.astype(jnp.float32)
+                return jnp.sum(jnp.where(jnp.isfinite(f), f, 0.0))
+
+            return acc + sum(red(leaf) for leaf in leaves) * 1e-30
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
-    t = {}
-    for n_iter in (1, K):
-        np.asarray(chain(buf, params, key, n_iter))
-        samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
+    return chain
+
+
+def _chained_ms(runner, buf, params, key, reps=5, K=16, perturb=None):
+    """In-jit chained device latency (bench.py methodology): K pipeline
+    invocations chained through a scalar data dependency inside ONE
+    program; per-scan = (T(K) - T(1)) / (K - 1). Dispatch-free — the
+    suite's earlier independent-dispatch numbers included ~0.5-3 ms of
+    tunnel queue overhead per call (PERF_NOTES.md round-3 finding)."""
+    chain = _make_chain(runner, perturb)
+
+    def measure(K_):
+        t = {}
+        for n_iter in (1, K_):
             np.asarray(chain(buf, params, key, n_iter))
-            samples.append(time.perf_counter() - t0)
-        t[n_iter] = float(np.median(samples))
-    return max((t[K] - t[1]) * 1e3 / (K - 1), 1e-3)
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(chain(buf, params, key, n_iter))
+                samples.append(time.perf_counter() - t0)
+            t[n_iter] = float(np.median(samples))
+        return t[K_] - t[1]
+
+    delta = measure(K)
+    # sub-ms configs: a K=16 chain's delta (~2-10 ms) can drown in the
+    # ~30 ms D2H pull jitter of this tunnel — lengthen the chain until
+    # the delta clears the noise (trip count is dynamic via fori_loop
+    # upper bound but n_iter is a static argname, so each K compiles
+    # once; the program itself is already compiled and cached).
+    while delta < 0.025 and K < 1024:
+        K *= 8
+        delta = measure(K)
+    return max(delta * 1e3 / (K - 1), 1e-3)
 
 
 def _emit(name, ms, extra=None):
@@ -284,11 +318,17 @@ def config5_pcap_streaming(reps):
             params = _dc.replace(
                 params0, voxel_size=params0.voxel_size * (1.0 + acc * 1e-30)
             )
-            pk, mt, _pl = full(
+            out = full(
                 fields, stamp, np_, params, jax.random.fold_in(key0, i),
                 jnp.float32(1.0),
             )
-            return acc + jnp.sum(mt) * 1e-30
+            # consume EVERY leaf (packed payload included) or XLA
+            # dead-code-eliminates the unconsumed stages from the chain
+            total = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                f = leaf.astype(jnp.float32)
+                total += jnp.sum(jnp.where(jnp.isfinite(f), f, 0.0))
+            return acc + total * 1e-30
         import jax.lax as lax
 
         return lax.fori_loop(0, n_iter, body, jnp.float32(0.0))

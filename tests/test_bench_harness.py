@@ -42,6 +42,29 @@ def test_chained_ms_runs_pipeline(rng):
     assert ms >= 1e-3  # clamped positive
 
 
+def test_chain_consumes_mask_only_stages(rng):
+    """DCE regression (round 3): a runner whose expensive work feeds ONLY
+    the output mask must still appear in the optimized chain program.
+    The old chain reduced over positions alone, so XLA deleted mask-only
+    stages (RANSAC, outlier filters) and the bench read ~0 ms."""
+    from bench_suite import _make_chain
+
+    buf = _tiny_buf(rng)
+
+    def mask_only_runner(b, _p, k):
+        # the sort feeds ONLY the mask; positions pass through untouched
+        order = jnp.sort(b.positions[0] * jax.random.uniform(k, ()))
+        return b.replace(mask=b.mask & (order[:1] < 1e30))
+
+    chain = _make_chain(mask_only_runner)
+    hlo = (
+        chain.lower(buf, None, jax.random.PRNGKey(0), n_iter=3)
+        .compile()
+        .as_text()
+    )
+    assert "sort" in hlo, "mask-only stage was dead-code-eliminated"
+
+
 def test_chained_ms_perturb_hook_tuple_of_buffers(rng):
     from bench_suite import _chained_ms
 

@@ -32,22 +32,29 @@ def device_time_ms(fn, *args, iters: int = 32, reps: int = 5) -> float:
 
     first, rest = args[0], args[1:]
 
+    # Reduce over FULL leaves: a [..., :1] slice lets XLA narrow
+    # elementwise producers to computing one element (and delete ops
+    # feeding unconsumed leaves entirely) — the op being measured must be
+    # fully live. NaN-safe so sentinel rows can't poison the chain. The
+    # added [N] reduction costs <0.05 ms; negligible for every op worth
+    # timing, but don't trust this harness below ~0.05 ms/op.
+    def _consume(out):
+        def red(leaf):
+            f = leaf.astype(jnp.float32)
+            return jnp.sum(jnp.where(jnp.isfinite(f), f, 0.0))
+
+        return sum(red(leaf) for leaf in jax.tree_util.tree_leaves(out))
+
     @jax.jit
     def chain(a0, *rst):
         def body(i, acc):
             a2 = a0 * (1.0 + acc * 1e-30)
-            out = fn(a2, *rst)
-            leaves = jax.tree_util.tree_leaves(out)
-            return acc + sum(
-                jnp.sum(leaf[..., :1].astype(jnp.float32)) for leaf in leaves
-            ) * 1e-30
+            return acc + _consume(fn(a2, *rst)) * 1e-30
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     @jax.jit
     def chain1(a0, *rst):
-        out = fn(a0, *rst)
-        leaves = jax.tree_util.tree_leaves(out)
-        return sum(jnp.sum(leaf[..., :1].astype(jnp.float32)) for leaf in leaves)
+        return _consume(fn(a0, *rst))
 
     # warm both programs (compile) with real syncs
     np.asarray(chain(first, *rest))
