@@ -55,14 +55,14 @@ from .pallas_segmean import _dot3_exact
 __all__ = ["window_stats_pallas"]
 
 _BIG = 1e30
-_BISECT = 9  # bisection iterations for kmode='bisect'; the center-block
-             # initial bound is ~2 bits tighter than the full-window max,
-             # so 9 iterations match the accuracy 11 had from a loose bound.
-             # Caveat: when a query block holds < k valid candidates
-             # (sparse regions, scan edges) the bound falls back to the
-             # full-window max, where 9 iterations give a ~4x wider
-             # relative band than 11 did — acceptable because accuracy-
-             # sensitive callers default to kmode='sweep' (exact).
+_BISECT = 13  # bisection iterations for kmode='bisect'. Measured round 3
+              # (tools/quality_bisect_iters.py, CPU interpret): 9 iters
+              # (the r2 value) gave 92.7%/85.8% outlier-classification
+              # agreement on bench8k/ring15k — BELOW the quality floors;
+              # 13 iters restores sweep-level agreement (97.0%/99.8%,
+              # median relerr 7e-5) for +8 VPU passes (~+0.04 ms/pass at
+              # 51k rows — bisect stays k-independent and cheaper than
+              # sweep only for large nb_neighbors).
 _B = 128  # sweep block: keeps the k-extraction loop carry small (a (window,
           # 512) carry spills VMEM and measures ~1.5x slower end to end)
 _G = 4  # sweep blocks per grid step: one wide DMA amortizes per-step cost

@@ -263,6 +263,42 @@ def test_window_quality_floor_vs_exact(rng):
     assert agree > 0.93, agree
 
 
+def test_bisect_kmode_quality_floor(rng):
+    # kmode='bisect' regression floor (ADVICE r2 item 4 follow-up): at
+    # _BISECT=9 the bisection band was wide enough to cost real quality
+    # (92.7% bench8k / 85.8% ring15k agreement — below the floors); 13
+    # iterations restore sweep-level agreement (measured 97.0% / 99.8%,
+    # tools/quality_bisect_iters.py). This pins the bench8k number so a
+    # future iteration-count "optimization" cannot silently regress it.
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops import mask_non_finite
+    from autodriver_pointcloud_preprocessor_tpu.ops.knn import knn_exact
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats,
+    )
+    import bench as B
+
+    pts = B._scene(8000)
+    buf, _ = from_soa({"positions": pts}, capacity=8192)
+    buf = mask_non_finite(buf, True, True)
+    pos, mask = buf.positions, buf.mask
+    k = 20
+    d2k, _ = knn_exact(pos, mask, k=k)
+    d2k = np.asarray(d2k)
+    fin = np.isfinite(d2k)
+    exact = np.sqrt(np.where(fin, d2k, 0.0)).sum(1) / np.maximum(fin.sum(1), 1)
+    v = np.asarray(mask)
+    ce = exact[v] <= exact[v].mean() + exact[v].std()
+    mean, _, _ = fused_neighborhood_stats(
+        pos, mask, k=k, radius=0.1, window_blocks=1, passes=2,
+        backend="pallas_interpret", kmode="bisect",
+    )
+    mw = np.asarray(mean)[v]
+    cw = mw <= mw.mean() + mw.std()
+    agree = (ce == cw).mean()
+    assert agree > 0.93, agree
+
+
 def test_window_quality_floor_ring_structured_scan():
     # VERDICT r2 missing #2: quality on a REAL-structured scan, not only
     # uniform noise. The fixture is one synthetic VLP-16 revolution
