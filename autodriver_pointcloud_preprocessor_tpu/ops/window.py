@@ -402,9 +402,17 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         )
         mean_s, _cnt_s, mom_s = out[:3]
         cnt2_s = out[3] if use_r2 else None
+        # covariance ENTRIES (cheap elementwise moment conversion) are
+        # carried across passes; the eigensolve itself is deferred until
+        # after the per-point best-pass merge — identical normals (the
+        # merge picks ONE pass's entries per point, so solving after
+        # choosing equals choosing after solving) for one eigensolve
+        # total instead of one per pass, at +1 payload row per re-sort
+        # (6 entry rows vs mean+3 normal rows... net +2 rows vs the old
+        # 5-row stat carry — ~0.03 ms/re-sort at 51k vs an ~0.1 ms
+        # closed-form trig eigensolve per extra pass).
         e = _entries_from_moments(mom_s)
-        ns = _normals_from_entries(e[0], e[1], e[2], e[3], e[4], e[5], mom_s[0])
-        return mean_s, mom_s[0], ns[0], ns[1], ns[2], cnt2_s
+        return mean_s, mom_s[0], e, cnt2_s
 
     n = positions.shape[-1]
 
@@ -459,32 +467,38 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             positions, mask, 0, extra=tuple(carry), with_idx=False,
             bounds=bounds,
         )
-    mean, count, nx, ny, nz, cnt2 = one_pass(sx, sy, sz, sv, 0)
+    mean, count, ent, cnt2 = one_pass(sx, sy, sz, sv, 0)
     for p_i in range(1, passes):
-        stat_rows = (mean, count, nx, ny, nz) + ((cnt2,) if use_r2 else ())
+        stat_rows = (mean, count, *ent) + ((cnt2,) if use_r2 else ())
         sx, sy, sz, sv, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
             extra=(*carry, *stat_rows), with_idx=False, bounds=bounds,
         )
         ns = len(stat_rows)
         carry, stat_rows = rest[:-ns], rest[-ns:]
-        mean, count, nx, ny, nz = stat_rows[:5]
-        cnt2 = stat_rows[5] if use_r2 else None
-        m2, c2, nx2, ny2, nz2, cnt2b = one_pass(sx, sy, sz, sv, p_i % 2)
+        mean, count, ent = stat_rows[0], stat_rows[1], stat_rows[2:8]
+        cnt2 = stat_rows[8] if use_r2 else None
+        m2, c2, ent2, cnt2b = one_pass(sx, sy, sz, sv, p_i % 2)
         mean = jnp.minimum(mean, m2)
         better = c2 > count
-        nx = jnp.where(better, nx2, nx)
-        ny = jnp.where(better, ny2, ny)
-        nz = jnp.where(better, nz2, nz)
+        ent = tuple(
+            jnp.where(better, e2, e1) for e1, e2 in zip(ent, ent2)
+        )
         count = jnp.where(better, c2, count)
         if use_r2:
             cnt2 = jnp.maximum(cnt2, cnt2b)
-    return sx, sy, sz, sv, tuple(carry), mean, count, nx, ny, nz, cnt2
+    nrm = _normals_from_entries(
+        ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
+    )
+    return (sx, sy, sz, sv, tuple(carry), mean, count,
+            nrm[0], nrm[1], nrm[2], cnt2)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "window_blocks", "passes", "backend", "kmode"),
+    static_argnames=(
+        "k", "window_blocks", "passes", "backend", "kmode", "d2mode"
+    ),
 )
 def fused_neighborhood_stats(
     positions: jax.Array,
@@ -496,6 +510,7 @@ def fused_neighborhood_stats(
     backend: str = "auto",
     kmode: str = "sweep",
     bounds=None,
+    d2mode: str = "highest",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One shared neighborhood sweep serving BOTH statistical-outlier and
     normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
@@ -524,7 +539,7 @@ def fused_neighborhood_stats(
                 positions, mask, (idx,), k=k, radius=radius,
                 window_blocks=window_blocks, passes=passes,
                 interp=(backend == "pallas_interpret"), kmode=kmode,
-                bounds=bounds,
+                bounds=bounds, d2mode=d2mode,
             )
         )
         mean, count, nx, ny, nz = _unsort(orig, (mean, count, nx, ny, nz))

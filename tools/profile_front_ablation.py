@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import sys
 import time
+from dataclasses import replace as dataclasses_replace
 
 import numpy as np
 
@@ -70,7 +71,11 @@ def main() -> None:
     )
     runner = pipeline_runner(settings)
 
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+
     def t(name, fn, *args, iters=16):
+        if only and not any(o in name for o in only):
+            return None
         t0 = time.perf_counter()
         ms = device_time_ms(fn, *args, iters=iters, reps=5)
         print(f"[abl] {name}: {ms:.3f} ms  (wall {time.perf_counter()-t0:.0f}s)",
@@ -86,6 +91,15 @@ def main() -> None:
 
     # 1. full headline pipeline (should reproduce the BENCH number)
     t("full headline", lambda p, m, a: runner(rebuf(p, m, a), params, key),
+      pos, msk, attrs)
+
+    # 1b. the same pipeline with the fast3 distance matmul (quality
+    # measured identical to 'highest': tools/quality_knobs.py)
+    runner_f3 = pipeline_runner(
+        dataclasses_replace(settings, knn_d2mode="fast3")
+    )
+    t("full headline fast3",
+      lambda p, m, a: runner_f3(rebuf(p, m, a), params, key),
       pos, msk, attrs)
 
     # 2. front trio: dedup is fused into voxel; bench has no transform.

@@ -44,6 +44,8 @@ def main() -> None:
     configs = [
         ("sweep highest p2 wb1 (prod)", dict(kmode="sweep"), {}),
         ("bisect highest p2 wb1", dict(kmode="bisect"), {}),
+        ("sweep fast3 p2 wb1", dict(kmode="sweep", d2mode="fast3"), {}),
+        ("bisect fast3 p2 wb1", dict(kmode="bisect", d2mode="fast3"), {}),
     ]
 
     for sname, p, cap in scenes:
