@@ -13,20 +13,25 @@ Runs crossing block boundaries are handled with the TPU grid's sequential
 execution: scratch carries (open-segment partial sum, its global slot,
 and the pending 128-column output tile) across steps in VMEM.
 
-Round-3 pipelining redesign (the first version cost 0.53 ms at 131k —
-DMA-latency-bound on three serialized round trips per step):
-* the global-slot shift folds INTO the one-hot comparison
-  (``one_hot[j, t] = cs[j] + gid%%128 == t``), so partials come out of the
-  main matmul already 128-aligned — the separate shift matmul is gone;
-* output writes are APPEND-ONLY: the incomplete trailing 128-column tile
-  stays in VMEM as carry, each step commits only tiles no future step
-  touches, so the read-modify-write round trip is gone (columns past the
-  committed tiles are written early with partial values and simply
-  overwritten by the next committing step — writes are ordered);
-* input DMAs are double-buffered across grid steps (prefetch block i+1
-  during block i's compute).
-The final open segment AND the final pending tile return as a small
-state output and are folded in by the caller.
+Round-3 pipelining redesign history (this kernel is DMA-LATENCY-bound —
+count round trips per step, not bytes):
+* v1 (0.53 ms @131k): three serialized HBM round trips per 512-column
+  step (input DMA, output RMW read, output write) plus a shift matmul.
+* v2: fold the global-slot shift into the one-hot comparison; append-only
+  output writes (the incomplete trailing 128-column tile stays in VMEM as
+  carry); double-buffered input DMAs. Still ~0.55 ms in-context at 131k:
+  the per-step output write was started AND waited in the same step, and
+  256 grid steps each paid a DMA-wait latency the double buffer couldn't
+  hide behind ~1 us of compute.
+* v3 (this version): each grid step processes SUB=4 sub-blocks of 512
+  columns from ONE (C, 2048)-wide double-buffered input DMA (4x fewer
+  input round trips, 4x more compute to hide them behind), sub-block
+  results are staged into a step-local VMEM window, and ONE output write
+  per step is started fire-and-forget — the NEXT step waits it before
+  re-staging. The channel dim stays padded to 8 rows for every DMA-facing
+  array: Mosaic requires second-minor DMA slices to be 8-aligned (a
+  6-row ``memref_slice`` fails to lower), and the MXU pads (C, ...)
+  operands to 8 sublanes regardless, so the 8-row compute is free.
 
 Channel convention (C <= 8, float32): callers typically pack
 [valid(count), x, y, z, attr..., first_index*flag]. Because the voxel sort
@@ -46,7 +51,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["segmented_sums_pallas"]
 
 _BLK = 512
-_C = 8
 
 
 def _dot3_exact(a, b01, dims):
@@ -73,150 +77,205 @@ def _dot3_exact(a, b01, dims):
     return out
 
 
-_W = _BLK + 128  # partials window: off (< 128) + up to BLK new runs
+_W = _BLK + 128  # per-sub-block partials window: off (< 128) + up to BLK runs
 
 
-def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals2, flags2,
-            carry_vmem, pend_vmem, stage_vmem, gid_ref, sems):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nb = pl.num_programs(1)
+def _make_kernel(c: int, sub: int):
+    """Kernel body for ``c`` channels and ``sub`` 512-column sub-blocks
+    per grid step (step width = sub * 512)."""
+    blk_w = sub * _BLK
+    stage_w = blk_w + 128  # staged output window per step
 
-    def in_dma(slot, blk):
-        return pltpu.make_async_copy(
-            values_hbm.at[b, :, pl.ds(blk * _BLK, _BLK)],
-            vals2.at[slot], sems.at[slot],
-        )
+    def _kernel(values_hbm, flags_hbm, sums_hbm, state_ref, vals2, flags2,
+                carry_vmem, pend_vmem, stage_vmem, smem, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        nb = pl.num_programs(1)
+        nbatch = pl.num_programs(0)
 
-    def fl_dma(slot, blk):
-        return pltpu.make_async_copy(
-            flags_hbm.at[b, :, pl.ds(blk * _BLK, _BLK)],
-            flags2.at[slot], sems.at[2 + slot],
-        )
+        def in_dma(slot, blk):
+            return pltpu.make_async_copy(
+                values_hbm.at[b, :, pl.ds(blk * blk_w, blk_w)],
+                vals2.at[slot], sems.at[slot],
+            )
 
-    # the grid iterates the block axis fastest: i == 0 is the start of
-    # each batch element — reset the run state and warm up the pipeline
-    @pl.when(i == 0)
-    def _():
-        in_dma(0, 0).start()
-        fl_dma(0, 0).start()
-        carry_vmem[:, :] = jnp.zeros((_C, 1), jnp.float32)
-        pend_vmem[:, :] = jnp.zeros((_C, 128), jnp.float32)
-        gid_ref[0] = 0
+        def fl_dma(slot, blk):
+            return pltpu.make_async_copy(
+                flags_hbm.at[b, :, pl.ds(blk * blk_w, blk_w)],
+                flags2.at[slot], sems.at[2 + slot],
+            )
 
-    slot = jax.lax.rem(i, 2)
+        # the grid iterates the block axis fastest: i == 0 is the start of
+        # each batch element — reset the run state and warm up the pipeline
+        @pl.when(i == 0)
+        def _():
+            in_dma(0, 0).start()
+            fl_dma(0, 0).start()
+            carry_vmem[:, :] = jnp.zeros((c, 1), jnp.float32)
+            pend_vmem[:, :] = jnp.zeros((c, 128), jnp.float32)
+            smem[0] = 0
 
-    # prefetch the next block while this one computes (double buffer)
-    @pl.when(i + 1 < nb)
-    def _():
-        nslot = jax.lax.rem(i + 1, 2)
-        in_dma(nslot, i + 1).start()
-        fl_dma(nslot, i + 1).start()
+        slot = jax.lax.rem(i, 2)
 
-    in_dma(slot, i).wait()
-    fl_dma(slot, i).wait()
+        # prefetch the next block while this one computes (double buffer)
+        @pl.when(i + 1 < nb)
+        def _():
+            nslot = jax.lax.rem(i + 1, 2)
+            in_dma(nslot, i + 1).start()
+            fl_dma(nslot, i + 1).start()
 
-    flags = flags2[slot]  # (1, BLK) f32 0/1 run-start flags
-    # inclusive cumsum via triangular matmul: cs[j] = sum_{i<=j} flags[i].
-    # 0/1 operands are exact in bf16; f32 accumulation keeps counts exact.
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 1)
-    tri = (rows_i <= cols_i).astype(jnp.float32)
-    cs = jax.lax.dot_general(
-        flags, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, BLK), values in [0, S_new]
+        in_dma(slot, i).wait()
+        fl_dma(slot, i).wait()
 
-    s_new = cs[0, _BLK - 1].astype(jnp.int32)  # runs started in this block
-    gid = gid_ref[0]
-    base = pl.multiple_of((gid // 128) * 128, 128)
-    off = gid - base  # in [0, 128)
+        # the previous step's output write (possibly the previous batch
+        # element's last step) must land before this step re-stages. One
+        # step of DMA-wait + compute hides a ~70 KB write entirely.
+        @pl.when(b + i > 0)
+        def _():
+            pltpu.make_async_copy(
+                stage_vmem,
+                sums_hbm.at[
+                    smem[2], :, pl.ds(pl.multiple_of(smem[1], 128), stage_w)
+                ],
+                sems.at[4],
+            ).wait()
 
-    # one_hot[j, t] = (cs[j] + off == t): the 128-alignment shift folds
-    # into the comparison, so the main matmul emits partials already at
-    # window-local columns — no separate shift matmul.
-    slot_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _W), 1)
-    one_hot = (
-        cs.reshape(_BLK, 1).astype(jnp.int32) + off == slot_i
-    ).astype(jnp.float32)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 1)
+        tri = (rows_i <= cols_i).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (c, _W), 1)
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _W), 1)
 
-    # partials[c, t] = sum_j values[c, j] * one_hot[j, t]. Values include
-    # coordinates that bf16 would round, but one_hot is 0/1: 3-term bf16
-    # split of the values is f32-exact at half the HIGHEST pass count.
-    partials = _dot3_exact(
-        vals2[slot], one_hot,
-        dims=(((1,), (0,)), ((), ())),
-    )  # (C, _W)
+        gid = smem[0]
+        base0 = pl.multiple_of((gid // 128) * 128, 128)
+        carry = carry_vmem[:, :]
+        pend = pend_vmem[:, :]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (_C, _W), 1)
-    # fold the carried open-run partial at column `off` (the block's
-    # first element continues it: flags[0] is forced 0 upstream)
-    partials = partials + jnp.where(col == off, carry_vmem[:, :], 0.0)
-    # fold the pending (incomplete) output tile into columns [0, 128)
-    partials = partials + jnp.concatenate(
-        [pend_vmem[:, :], jnp.zeros((_C, _W - 128), jnp.float32)], axis=1
-    )
+        for s in range(sub):
+            flags = flags2[slot][:, s * _BLK:(s + 1) * _BLK]  # (1, BLK) 0/1
+            vals = vals2[slot][:, s * _BLK:(s + 1) * _BLK]
+            # inclusive cumsum via triangular matmul: cs[j] = sum_{i<=j}
+            # flags[i]. 0/1 operands are exact in bf16; f32 accumulation
+            # keeps counts exact.
+            cs = jax.lax.dot_general(
+                flags, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, BLK), values in [0, S_new]
 
-    end = off + s_new  # filled columns; the open run sits AT `end`
-    # new open-run carry = column `end` (masked reduction: dynamic value
-    # slices are not lowerable in Mosaic)
-    carry_vmem[:, :] = jnp.sum(
-        jnp.where(col == end, partials, 0.0), axis=1, keepdims=True
-    )
-    closed = jnp.where(col < end, partials, 0.0)
+            s_new = cs[0, _BLK - 1].astype(jnp.int32)  # runs started here
+            base_s = pl.multiple_of((gid // 128) * 128, 128)
+            off = gid - base_s  # in [0, 128)
 
-    # append-only commit: tiles [0, tiles_done) are final (no future step
-    # adds to them — future contributions start at column `end` >=
-    # tiles_done*128). The write ships the whole window; columns past the
-    # complete tiles carry in-progress values and are overwritten by the
-    # next committing step (sequential grid => ordered writes). The
-    # incomplete tail tile stays in VMEM as the next step's pending.
-    tiles_done = end // 128
-    pend = closed[:, 4 * 128:]
-    for k in range(3, -1, -1):
-        pend = jnp.where(tiles_done == k, closed[:, k * 128:(k + 1) * 128],
-                         pend)
-    pend_vmem[:, :] = pend
+            # one_hot[j, t] = (cs[j] + off == t): the 128-alignment shift
+            # folds into the comparison, so the main matmul emits partials
+            # already at window-local columns — no separate shift matmul.
+            one_hot = (
+                cs.reshape(_BLK, 1).astype(jnp.int32) + off == slot_i
+            ).astype(jnp.float32)
 
-    stage_vmem[:, :] = closed
+            # partials[ch, t] = sum_j vals[ch, j] * one_hot[j, t]. Values
+            # include coordinates that bf16 would round, but one_hot is
+            # 0/1: 3-term bf16 split is f32-exact at half the HIGHEST
+            # pass count.
+            partials = _dot3_exact(
+                vals, one_hot, dims=(((1,), (0,)), ((), ())),
+            )  # (C, _W)
 
-    @pl.when(tiles_done > 0)
-    def _():
+            # fold the carried open-run partial at column `off` (the
+            # sub-block's first element continues it: flags[0] of the
+            # whole buffer is forced 0 upstream)
+            partials = partials + jnp.where(col == off, carry, 0.0)
+            # fold the pending (incomplete) output tile into columns
+            # [0, 128)
+            partials = partials + jnp.concatenate(
+                [pend, jnp.zeros((c, _W - 128), jnp.float32)], axis=1
+            )
+
+            end = off + s_new  # filled columns; the open run sits AT end
+            # new open-run carry = column `end` (masked reduction:
+            # dynamic value slices are not lowerable in Mosaic)
+            carry = jnp.sum(
+                jnp.where(col == end, partials, 0.0), axis=1, keepdims=True
+            )
+            closed = jnp.where(col < end, partials, 0.0)
+
+            # the incomplete tail tile stays as the next sub-block's
+            # pending
+            tiles_done = end // 128
+            pend = closed[:, 4 * 128:]
+            for k in range(3, -1, -1):
+                pend = jnp.where(
+                    tiles_done == k, closed[:, k * 128:(k + 1) * 128], pend
+                )
+
+            # stage this sub-block's window at its step-relative, 128-
+            # aligned column. Later sub-blocks re-stage their overlap with
+            # UPDATED accumulations (sequential stores: last write wins),
+            # so every staged column below the step's final open run is
+            # final when the step's single output write ships.
+            rel = pl.multiple_of(base_s - base0, 128)
+            stage_vmem[:, pl.ds(rel, _W)] = closed
+
+            gid = gid + s_new
+
+        carry_vmem[:, :] = carry
+        pend_vmem[:, :] = pend
+
+        # one fire-and-forget output write per step; the next step (or the
+        # final-step wait below) completes it. Columns past the committed
+        # tiles carry in-progress values and are overwritten by the next
+        # step's write at its (>= this step's committed-tile boundary)
+        # base — sequential grid => ordered writes.
         wr = pltpu.make_async_copy(
-            stage_vmem, sums_hbm.at[b, :, pl.ds(base, _W)], sems.at[4]
+            stage_vmem, sums_hbm.at[b, :, pl.ds(base0, stage_w)], sems.at[4]
         )
         wr.start()
-        wr.wait()
+        smem[0] = gid
+        smem[1] = base0
+        smem[2] = b
 
-    gid_ref[0] = gid + s_new
+        @pl.when((b == nbatch - 1) & (i == nb - 1))
+        def _():
+            wr.wait()
 
-    # final state (the batch element's last step wins): row 0 = gid,
-    # rows 1..C = open carry, rows C+1..2C = pending tile
-    state_ref[0, :, :] = jnp.concatenate(
-        [
-            jnp.full((1, 128), (gid + s_new).astype(jnp.float32)),
-            jnp.broadcast_to(carry_vmem[:, :], (_C, 128)),
-            pend,
-        ]
-    )
+        # final state (the batch element's last step wins): row 0 = gid,
+        # rows 1..C = open carry, rows C+1..2C = pending tile
+        state_ref[0, :, :] = jnp.concatenate(
+            [
+                jnp.full((1, 128), gid.astype(jnp.float32)),
+                jnp.broadcast_to(carry, (c, 128)),
+                pend,
+            ]
+        )
+
+    return _kernel, stage_w
 
 
 def _call_batched(values, run_start, interpret):
-    """(batch, C, N), (batch, N) -> (batch, 8, N) per-run sums."""
+    """(batch, C, N), (batch, N) -> (batch, C, N) per-run sums."""
     batch, c, n = values.shape
-    assert c <= _C and n % _BLK == 0, (c, n)
-    vals = (
-        jnp.zeros((batch, _C, n), jnp.float32)
-        .at[:, :c].set(values.astype(jnp.float32))
-    )
+    assert c <= 8 and n % _BLK == 0, (c, n)
+    # 4 sub-blocks per grid step when the capacity allows (all production
+    # capacities are 2048-multiples); 512-wide steps otherwise.
+    sub = 4 if n % (4 * _BLK) == 0 else 1
+    vals = values.astype(jnp.float32)
+    # Mosaic DMA slices must be 8-aligned on the second-minor dim; the MXU
+    # pads to 8 sublanes anyway, so run the kernel at 8 channels and slice
+    # the caller's c rows back out at the end.
+    c_out = c
+    if c < 8:
+        vals = jnp.pad(vals, ((0, 0), (0, 8 - c), (0, 0)))
+        c = 8
     flags = run_start.astype(jnp.float32).reshape(batch, 1, n)
     # element 0 always opens run 0; its flag must be 0 so cs starts at 0
     flags = flags.at[:, 0, 0].set(0.0)
 
-    nb = n // _BLK
-    n_out = n + _BLK + 256
+    kernel, stage_w = _make_kernel(c, sub)
+    blk_w = sub * _BLK
+    nb = n // blk_w
+    n_out = n + stage_w + 128
     sums, state = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(batch, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -225,21 +284,21 @@ def _call_batched(values, run_start, interpret):
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 1 + 2 * _C, 128), lambda b, i: (b, 0, 0),
+                (1, 1 + 2 * c, 128), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, _C, n_out), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 1 + 2 * _C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch, c, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1 + 2 * c, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, _C, _BLK), jnp.float32),
-            pltpu.VMEM((2, 1, _BLK), jnp.float32),
-            pltpu.VMEM((_C, 1), jnp.float32),
-            pltpu.VMEM((_C, 128), jnp.float32),
-            pltpu.VMEM((_C, _W), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((2, c, blk_w), jnp.float32),
+            pltpu.VMEM((2, 1, blk_w), jnp.float32),
+            pltpu.VMEM((c, 1), jnp.float32),
+            pltpu.VMEM((c, 128), jnp.float32),
+            pltpu.VMEM((c, stage_w), jnp.float32),
+            pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -247,8 +306,8 @@ def _call_batched(values, run_start, interpret):
     )(vals, flags)
 
     final_gid = state[:, 0, 0].astype(jnp.int32)  # (batch,)
-    final_carry = state[:, 1:1 + _C, 0]  # (batch, C)
-    final_pend = state[:, 1 + _C:, :]  # (batch, C, 128)
+    final_carry = state[:, 1:1 + c, 0]  # (batch, C)
+    final_pend = state[:, 1 + c:, :]  # (batch, C, 128)
     # overlay the final pending tile at its 128-aligned base — the in-HBM
     # columns there hold early-committed partial values
     final_base = (final_gid // 128) * 128
@@ -262,7 +321,7 @@ def _call_batched(values, run_start, interpret):
     cols = jnp.arange(n_out, dtype=jnp.int32)
     onehot = (cols[None, :] == final_gid[:, None]).astype(jnp.float32)
     sums = sums + onehot[:, None, :] * final_carry[:, :, None]
-    sums = sums[:, :, :n]
+    sums = sums[:, :c_out, :n]
     # slots beyond the final run were never committed — zero them
     live = jnp.arange(n, dtype=jnp.int32)[None, None, :] <= final_gid[:, None, None]
     return jnp.where(live, sums, 0.0)
@@ -305,12 +364,11 @@ def segmented_sums_pallas(
     level; nested vmap is unsupported).
 
     Args:
-        values: float32[C<=8, N] channel rows (N % 512 == 0); rows beyond
-            the caller's channels should be zero.
+        values: float32[C<=8, N] channel rows (N % 512 == 0).
         run_start: bool/float[N]; True where a new run begins (element 0's
             flag is ignored — it always starts run 0).
     Returns:
-        float32[8, N] run sums: row block [.., s] holds the sum of run s;
-        entries beyond the last run are zero.
+        float32[C, N] run sums: [.., s] holds the sum of run s; entries
+        beyond the last run are zero.
     """
     return _make_segmented_sums(interpret)(values, run_start)

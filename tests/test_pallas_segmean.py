@@ -83,6 +83,33 @@ def test_voxel_pallas_backend_matches_xla(rng):
     np.testing.assert_array_equal(rx, rp)
 
 
+def test_multi_step_wide_path(rng):
+    # n = 8192 drives the SUB=4 path (2048-wide grid steps) across 4 grid
+    # steps; mix run lengths so some runs span entire steps (pure carry),
+    # some close exactly at sub-block and step boundaries.
+    n = 8192
+    flags = np.zeros(n, bool)
+    for start in (0, 100, 511, 512, 640, 2047, 2048, 2049, 4096 - 1,
+                  4096 + 128, 6143, 6144, 8191):
+        flags[start] = True
+    vals = rng.normal(size=(6, n)).astype(np.float32)
+    out = np.asarray(
+        segmented_sums_pallas(jnp.asarray(vals), jnp.asarray(flags), interpret=True)
+    )
+    oracle, nseg = _oracle(vals, flags)
+    np.testing.assert_allclose(out[:, :nseg], oracle[:, :nseg], atol=1e-3)
+    assert np.abs(out[:, nseg:]).max() == 0
+
+    # dense random runs over the same width (many commits per step)
+    flags = rng.uniform(size=n) < 0.3
+    flags[0] = True
+    out = np.asarray(
+        segmented_sums_pallas(jnp.asarray(vals), jnp.asarray(flags), interpret=True)
+    )
+    oracle, nseg = _oracle(vals, flags)
+    np.testing.assert_allclose(out[:, :nseg], oracle[:, :nseg], atol=1e-3)
+
+
 def test_segmented_sums_vmap_batches_on_grid(rng):
     # regression: vmapping the segmean kernel crashed Mosaic ("ANY memory
     # space blocks must cover the whole array") — config6 of the bench
