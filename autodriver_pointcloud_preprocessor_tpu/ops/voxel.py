@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.scan import ScanBuffer
 
@@ -112,16 +113,28 @@ def voxel_downsample(
     # segment's first value via the same flag-masked run-sum trick as
     # first_idx — eliminating the [N] gather (~0.9 ms at 131k,
     # PERF_NOTES.md) that wide ints still need as the fallback.
+    from ..core.scan import ATTR_HOST_DTYPES
+
     float_rows = []
     row_slices = []  # (name, start, num_rows) — segment-MEAN channels
     first_slices = []  # (name, start, num_rows) — first-of-segment channels
     gather_attrs = []  # wide ints: fall back to the first_idx gather
     for name, arr in sorted(buf.attributes.items()):
         rows = arr[None, :] if arr.ndim == 1 else arr.reshape(-1, n)
+        # Values are f32-exact when the attribute's HOST dtype is <= 16
+        # bits — canonical narrow ints (ring u16, return_type u8) ride
+        # the DEVICE as int32 (core/scan.ATTR_DEVICE_DTYPES), so testing
+        # the device itemsize alone silently routed them to the [N]
+        # gather fallback (~0.9 ms each at 131k, the exact pathology
+        # this path exists to avoid — caught round 3 when the bench's
+        # ring attr showed up as +0.9 ms of voxel time).
+        host_narrow = np.dtype(
+            ATTR_HOST_DTYPES.get(name, np.int64)
+        ).itemsize <= 2
         if jnp.issubdtype(arr.dtype, jnp.floating):
             row_slices.append((name, len(float_rows), rows.shape[0]))
             float_rows.extend(rows[c] for c in range(rows.shape[0]))
-        elif arr.dtype.itemsize <= 2:  # u8/u16/i8/i16/bool: f32-exact
+        elif arr.dtype.itemsize <= 2 or host_narrow:
             first_slices.append((name, len(float_rows), rows.shape[0]))
             float_rows.extend(
                 rows[c].astype(jnp.float32) for c in range(rows.shape[0])

@@ -46,6 +46,15 @@ def main() -> None:
         ("bisect highest p2 wb1", dict(kmode="bisect"), {}),
         ("sweep fast3 p2 wb1", dict(kmode="sweep", d2mode="fast3"), {}),
         ("bisect fast3 p2 wb1", dict(kmode="bisect", d2mode="fast3"), {}),
+        # wb0 = one-sided 256-candidate windows, directions alternating
+        # across passes (kernel cost 0.242 vs 0.483 ms at 51k, round 3)
+        ("sweep highest p2 wb0", dict(kmode="sweep", window_blocks=0), {}),
+        ("sweep fast3 p2 wb0",
+         dict(kmode="sweep", d2mode="fast3", window_blocks=0), {}),
+        ("sweep highest p3 wb0",
+         dict(kmode="sweep", window_blocks=0, passes=3), {}),
+        ("sweep highest p4 wb0",
+         dict(kmode="sweep", window_blocks=0, passes=4), {}),
     ]
 
     for sname, p, cap in scenes:
@@ -58,8 +67,9 @@ def main() -> None:
         ce = exact <= exact.mean() + exact.std()
 
         for cname, kw, _ in configs:
+            kw = dict({"window_blocks": 1, "passes": 2}, **kw)
             mean, _, _ = fused_neighborhood_stats(
-                pos, mask, k=k, radius=0.1, window_blocks=1, passes=2,
+                pos, mask, k=k, radius=0.1,
                 backend="pallas_interpret", **kw,
             )
             mw = np.asarray(mean)[v]
