@@ -114,6 +114,15 @@ def main() -> None:
         # (the node derives this from its crop ROI automatically)
         voxel_compact_keys=True,
         post_downsample_capacity=51_200,
+        # 3-pass bf16-split distance matmul (d2mode='fast3'): agreement
+        # at the presorted operating point 96.68% vs HIGHEST's 96.71%
+        # (tools/quality_presorted_knobs.py), kernel 0.427 vs 0.483
+        # ms/pass at 51k. Measured dead end (round 3): the wb0/passes=3
+        # profile — 3 narrow one-sided windows — benches SLOWER in
+        # context (2.26 vs 1.98 ms p50): the extra pass's re-sort +
+        # merge overhead exceeds the narrower windows' kernel saving,
+        # and wb0 at passes=2 is below the quality floor (93.0%).
+        knn_d2mode="fast3",
     )
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)
     key = jax.random.PRNGKey(0)

@@ -538,3 +538,51 @@ def test_window_bounds_enlarged_box_still_accurate(rng):
     # slightly looser than the local-box floor: a 4x larger box costs two
     # levels of curve resolution (measured 0.9697 here vs 0.973 local)
     assert agree > 0.96, agree
+
+
+def test_presorted_quality_floor_bench_fast_profile():
+    # floor for the BENCH fast profile (window_blocks=0 one-sided windows
+    # alternating direction across passes=3, d2mode='fast3') on the
+    # presorted production path. Measured round 3
+    # (tools/quality_presorted_knobs.py, 32k bench scene -> voxel 0.08):
+    # 96.1% outlier-classification agreement vs exact KD-tree (prod
+    # wb1/p2/highest: 96.7%); wb0 at passes=2 measured 93.0% — BELOW this
+    # floor, which is what pins passes=3 for the wb0 profile.
+    from scipy.spatial import cKDTree
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops import (
+        mask_non_finite,
+        voxel_downsample,
+    )
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+    import bench as B
+
+    pts = B._scene(16_000)
+    buf, _ = from_soa({"positions": pts}, capacity=16384)
+    buf = mask_non_finite(buf, True, True)
+    vox = voxel_downsample(buf, 0.08, backend="xla", curve_order=True,
+                           compact_keys=True)
+    live = np.asarray(vox.mask)
+    vp = np.asarray(vox.positions)[:, live].T
+    k = 20
+    exact = cKDTree(vp).query(vp, k=k)[0].mean(axis=1)
+
+    out = fused_neighborhood_stats_reordered(
+        vox.positions, vox.mask, {}, k=k, radius=0.1, window_blocks=0,
+        passes=3, d2mode="fast3", backend="pallas_interpret",
+        presorted=True,
+    )
+    pos_r, m_r, _attrs, mean_r = out[0], out[1], out[2], out[3]
+    m = np.asarray(m_r)
+    Pr = np.asarray(pos_r)[:, m].T
+    mw = np.asarray(mean_r)[m]
+    oa = np.lexsort(vp.T)
+    ob = np.lexsort(Pr.T)
+    np.testing.assert_allclose(vp[oa], Pr[ob], atol=0)
+    ce = exact[oa] <= exact.mean() + exact.std()
+    cw = mw[ob] <= mw[ob].mean() + mw[ob].std()
+    agree = (ce == cw).mean()
+    assert agree > 0.94, agree
