@@ -131,8 +131,13 @@ class PipelineSettings:
     #: better recall (axis-permuted curves min-merged), linear cost
     neighborhood_passes: int = 2
     #: candidate halo per side in 128-point blocks for the window kernel;
-    #: 1 = 384-candidate windows (fast), 2 = 640 (higher recall)
-    window_blocks: int = 1
+    #: 1 = 384-candidate windows (fast), 2 = 640 (higher recall);
+    #: 0 = one-sided 256 windows alternating direction across passes.
+    #: A per-pass TUPLE (len == neighborhood_passes) runs a mixed
+    #: profile, e.g. (1, 0) = full symmetric window on the free
+    #: presorted pass + a cheap one-sided window on the re-sorted pass
+    #: (quality/cost frontier measured in PERF_NOTES.md round 3).
+    window_blocks: int | tuple = 1
     #: k-distance extraction in the Pallas window kernel: 'sweep' (exact
     #: k min-extractions — after loop unrolling it costs the same as
     #: bisect at k=20, so exact is the default) or 'bisect' (threshold
@@ -160,6 +165,14 @@ class PipelineSettings:
             raise ValueError(
                 f"knn_kmode must be 'sweep' or 'bisect', got {self.knn_kmode!r}"
             )
+        wb = self.window_blocks
+        if not isinstance(wb, int):
+            if len(wb) != self.neighborhood_passes:
+                raise ValueError(
+                    "per-pass window_blocks tuple length "
+                    f"{len(wb)} != neighborhood_passes "
+                    f"{self.neighborhood_passes}"
+                )
 
 
 @jax.tree_util.register_dataclass
@@ -237,6 +250,14 @@ STAGE_TIMING_KEYS = {
     "ground": "ground_segmentation",
 }
 
+
+
+def _wb_flat(settings: "PipelineSettings") -> int:
+    """window_blocks for paths without per-pass plumbing (standalone
+    stages, sharded kernels): a per-pass tuple collapses to its max — a
+    superset window, quality only improves."""
+    wb = settings.window_blocks
+    return wb if isinstance(wb, int) else max(wb)
 
 def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
     """Ordered list of (stage_name, fn(buf, params, key) -> (buf, aux)).
@@ -531,7 +552,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                         p.std_ratio,
                         method=settings.knn_method,
                         window_backend="auto" if settings.pallas_ok else "xla",
-                        window_blocks=settings.window_blocks,
+                        window_blocks=_wb_flat(settings),
                         passes=settings.neighborhood_passes,
                         kmode=settings.knn_kmode,
                     ),
@@ -551,7 +572,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                         p.radius_search_radius,
                         method=settings.knn_method,
                         window_backend="auto" if settings.pallas_ok else "xla",
-                        window_blocks=settings.window_blocks,
+                        window_blocks=_wb_flat(settings),
                         passes=settings.neighborhood_passes,
                     ),
                     None,
@@ -570,7 +591,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                         settings.max_neighbors,
                         method=settings.knn_method,
                         window_backend="auto" if settings.pallas_ok else "xla",
-                        window_blocks=settings.window_blocks,
+                        window_blocks=_wb_flat(settings),
                         passes=settings.neighborhood_passes,
                     ),
                     None,

@@ -388,15 +388,25 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
     when set); ``count2`` is None unless ``radius2`` was given (in-radius2
     counts, max-merged across passes — windows only ever UNDERCOUNT, so
     max is the best estimator).
+
+    ``window_blocks`` may be a per-pass tuple (len == ``passes``): mixed
+    profiles run a full symmetric window on the free presorted pass and
+    cheaper one-sided windows on the re-sorted passes.
     """
     from .normals import _normals_from_entries
     from .pallas_window import window_stats_pallas
 
     use_r2 = radius2 is not None
+    wbs = (
+        (window_blocks,) * passes
+        if isinstance(window_blocks, int)
+        else tuple(window_blocks)
+    )
+    assert len(wbs) == passes, (wbs, passes)
 
-    def one_pass(px, py, pz, pv, direction):
+    def one_pass(px, py, pz, pv, direction, wb):
         out = window_stats_pallas(
-            px, py, pz, pv, radius, k=k, window_blocks=window_blocks,
+            px, py, pz, pv, radius, k=k, window_blocks=wb,
             interpret=interp, kmode=kmode, direction=direction,
             radius2=radius2, d2mode=d2mode,
         )
@@ -467,7 +477,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             positions, mask, 0, extra=tuple(carry), with_idx=False,
             bounds=bounds,
         )
-    mean, count, ent, cnt2 = one_pass(sx, sy, sz, sv, 0)
+    mean, count, ent, cnt2 = one_pass(sx, sy, sz, sv, 0, wbs[0])
     for p_i in range(1, passes):
         stat_rows = (mean, count, *ent) + ((cnt2,) if use_r2 else ())
         sx, sy, sz, sv, *rest = _sorted_rows(
@@ -478,7 +488,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         carry, stat_rows = rest[:-ns], rest[-ns:]
         mean, count, ent = stat_rows[0], stat_rows[1], stat_rows[2:8]
         cnt2 = stat_rows[8] if use_r2 else None
-        m2, c2, ent2, cnt2b = one_pass(sx, sy, sz, sv, p_i % 2)
+        m2, c2, ent2, cnt2b = one_pass(sx, sy, sz, sv, p_i % 2, wbs[p_i])
         mean = jnp.minimum(mean, m2)
         better = c2 > count
         ent = tuple(
@@ -546,13 +556,19 @@ def fused_neighborhood_stats(
         normals = jnp.stack([nx, ny, nz])
         return jnp.where(mask, mean, 0.0), normals, jnp.where(mask, count, 0.0)
 
-    # XLA fallback: compose the two window ops (no sharing, same results)
+    # XLA fallback: compose the two window ops (no sharing, same results).
+    # Per-pass window tuples collapse to their max (a superset window —
+    # the fallback has no per-pass plumbing and quality only improves).
+    wb_flat = (
+        window_blocks if isinstance(window_blocks, int)
+        else max(window_blocks)
+    )
     mean = window_mean_knn_dist(
-        positions, mask, k=k, window_blocks=window_blocks, passes=passes,
+        positions, mask, k=k, window_blocks=wb_flat, passes=passes,
         backend="xla", bounds=bounds,
     )
     entries, count = window_normal_stats(
-        positions, mask, radius, window_blocks=window_blocks, passes=passes,
+        positions, mask, radius, window_blocks=wb_flat, passes=passes,
         backend="xla", bounds=bounds,
     )
     from .normals import _normals_from_entries as _nfe
@@ -630,7 +646,11 @@ def fused_neighborhood_stats_reordered(
         if radius2 is None:
             return positions, mask, attrs, mean, normals, count
         _entries, count2 = window_normal_stats(
-            positions, mask, radius2, window_blocks=window_blocks,
+            positions, mask, radius2,
+            window_blocks=(
+                window_blocks if isinstance(window_blocks, int)
+                else max(window_blocks)
+            ),
             passes=passes, backend="xla", bounds=bounds,
         )
         return positions, mask, attrs, mean, normals, count, count2

@@ -131,9 +131,13 @@ def _resolve_knn_method(settings: PipelineSettings, local_capacity, axis_name):
 
 def _window_kwargs(settings: PipelineSettings):
     """The window-path knobs, threaded exactly like models/pipeline.py."""
+    wb = settings.window_blocks
     return dict(
         window_backend="auto" if settings.pallas_ok else "xla",
-        window_blocks=settings.window_blocks,
+        # per-pass tuples collapse to their max here: the sharded kernels
+        # have no per-pass plumbing, and a superset window only improves
+        # quality
+        window_blocks=wb if isinstance(wb, int) else max(wb),
         passes=settings.neighborhood_passes,
     )
 

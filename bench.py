@@ -123,6 +123,13 @@ def main() -> None:
         # merge overhead exceeds the narrower windows' kernel saving,
         # and wb0 at passes=2 is below the quality floor (93.0%).
         knn_d2mode="fast3",
+        # mixed per-pass windows: full symmetric 384-candidate window on
+        # the FREE presorted pass, one-sided 256 window on the re-sorted
+        # pass (kernel 0.427 + 0.21 vs 0.427 x2 at 51k). Agreement at
+        # the presorted operating point 95.15% vs 96.7% all-wb1
+        # (tools/quality_presorted_knobs.py; >93% floor). wb(1,0,0)/p3
+        # measures 97.1% if quality ever outranks the ~0.2 ms.
+        window_blocks=(1, 0),
     )
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)
     key = jax.random.PRNGKey(0)

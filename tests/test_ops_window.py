@@ -586,3 +586,39 @@ def test_presorted_quality_floor_bench_fast_profile():
     cw = mw[ob] <= mw[ob].mean() + mw[ob].std()
     agree = (ce == cw).mean()
     assert agree > 0.94, agree
+
+
+def test_mixed_window_blocks_tuple(rng):
+    # per-pass window_blocks tuple: (1, 0) = symmetric first pass +
+    # one-sided second. Means must be >= the wb1-everywhere result minus
+    # merge tolerance (a narrower second pass can only see fewer
+    # candidates -> its min-merge can only RAISE the mean), and the XLA
+    # fallback must accept the tuple (collapses to max).
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats,
+    )
+
+    pts = rng.normal(size=(1000, 3)).astype(np.float32) * 2.0
+    buf, _ = from_soa({"positions": pts}, capacity=1024)
+    pos, mask = buf.positions, buf.mask
+    m_mixed, _, c_mixed = fused_neighborhood_stats(
+        pos, mask, k=8, radius=0.5, window_blocks=(1, 0), passes=2,
+        backend="pallas_interpret",
+    )
+    m_full, _, _ = fused_neighborhood_stats(
+        pos, mask, k=8, radius=0.5, window_blocks=1, passes=2,
+        backend="pallas_interpret",
+    )
+    v = np.asarray(mask)
+    a, b = np.asarray(m_mixed)[v], np.asarray(m_full)[v]
+    # the mixed profile sees a subset of the full profile's candidates
+    assert (a >= b - 1e-5).all()
+    # but most points already find their k nearest in the first pass
+    assert (np.abs(a - b) < 1e-6).mean() > 0.8
+    # XLA fallback accepts the tuple
+    m_xla, _, _ = fused_neighborhood_stats(
+        pos, mask, k=8, radius=0.5, window_blocks=(1, 0), passes=2,
+        backend="xla",
+    )
+    assert np.isfinite(np.asarray(m_xla)[v]).all()

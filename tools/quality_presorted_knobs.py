@@ -61,6 +61,13 @@ def main() -> None:
         ("wb0 p4 sweep highest", dict(window_blocks=0, passes=4)),
         ("wb1 p2 sweep fast3", dict(window_blocks=1, passes=2,
                                     d2mode="fast3")),
+        # mixed profile: symmetric wb1 on the free presorted pass,
+        # one-sided wb0 on the re-sorted pass (kernels 0.427 + 0.21 vs
+        # 0.427 x2 at 51k)
+        ("wb(1,0) p2 sweep fast3", dict(window_blocks=(1, 0), passes=2,
+                                        d2mode="fast3")),
+        ("wb(1,0,0) p3 sweep fast3", dict(window_blocks=(1, 0, 0),
+                                          passes=3, d2mode="fast3")),
     ]
     for name, kw in configs:
         out = fused_neighborhood_stats_reordered(
