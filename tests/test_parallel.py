@@ -451,3 +451,42 @@ def test_sharded_ground_first_defers_shrink_like_single_chip(rng):
     ns = int(np.asarray(out_s.mask).sum())
     nm = int(np.asarray(out_m.mask).sum())
     assert nm > 0 and abs(ns - nm) / max(ns, 1) < 0.15, (ns, nm)
+
+
+def test_sharded_pipeline_accepts_per_pass_window_tuple(rng):
+    # The shipped bench profile uses a per-pass window_blocks TUPLE
+    # ((1, 0): symmetric 384-window on pass 0, one-sided 256 on pass 1).
+    # The sharded kernels have no per-pass plumbing and collapse a tuple
+    # to its max (parallel/sharding._window_kwargs) — a superset window,
+    # so quality only improves. Pin that the tuple settings object (a)
+    # compiles and runs under shard_map and (b) its survivors match the
+    # sharded max-collapsed integer profile exactly (same program).
+    pts = _scene(rng, 6000, 1500)
+    buf, _ = from_soa({"positions": pts}, capacity=8192)
+    base = dict(
+        remove_statistical_outliers=True, nb_neighbors=8,
+        estimate_normals=True, max_neighbors=8, knn_method="window",
+        remove_ground=True, num_iterations=64, ransac_n=3,
+    )
+    params = PipelineParams.make(
+        voxel_size=0.12, distance_threshold=0.08, std_ratio=1.5,
+        search_radius=0.5,
+    )
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh()
+    sharded = shard_buffer(buf, mesh)
+
+    out_t, plane_t = build_sharded_pipeline(
+        PipelineSettings(window_blocks=(1, 0), **base), mesh
+    )(sharded, params, key)
+    out_i, plane_i = build_sharded_pipeline(
+        PipelineSettings(window_blocks=1, **base), mesh
+    )(sharded, params, key)
+
+    assert abs(np.asarray(plane_t)[2]) > 0.99
+    np.testing.assert_array_equal(
+        np.asarray(out_t.mask), np.asarray(out_i.mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(plane_t), np.asarray(plane_i), rtol=0, atol=0
+    )
