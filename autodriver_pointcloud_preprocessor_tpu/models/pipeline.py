@@ -165,6 +165,11 @@ class PipelineSettings:
             raise ValueError(
                 f"knn_kmode must be 'sweep' or 'bisect', got {self.knn_kmode!r}"
             )
+        if self.knn_d2mode not in ("highest", "fast3"):
+            raise ValueError(
+                "knn_d2mode must be 'highest' or 'fast3', "
+                f"got {self.knn_d2mode!r}"
+            )
         wb = self.window_blocks
         if not isinstance(wb, int):
             if len(wb) != self.neighborhood_passes:
@@ -665,12 +670,32 @@ def _compact_keys_tier(cfg: Dict[str, object]):
     return False
 
 
+def _parse_window_blocks(value) -> int | tuple:
+    """Node/config ``window_blocks`` value -> settings field.
+
+    Accepts an int, or a sequence of per-pass ints (the ROS parameter
+    surface carries it as an integer array); a length-1 sequence collapses
+    to the uniform int form so ``[1]`` works for any pass count. Tuple
+    length vs ``neighborhood_passes`` is validated by
+    ``PipelineSettings.__post_init__``.
+    """
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    wb = tuple(int(v) for v in value)
+    return wb[0] if len(wb) == 1 else wb
+
+
 def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
     """Map reference-named parameters -> static settings.
 
     ``cfg`` uses the reference's flat dotted names (SURVEY.md §2a param
     table); missing keys take the reference defaults
-    (pointcloud_preprocessor.py:129-199).
+    (pointcloud_preprocessor.py:129-199). The TPU performance knobs
+    (``knn_method``, ``neighborhood_passes``, ``window_blocks``,
+    ``knn_kmode``, ``knn_d2mode``, ``fuse_neighborhood``, the ground
+    ordering modes) are first-class config keys too — the shipped bench
+    profile (models/presets.py) is reachable through this exact surface,
+    and through the node's declared parameters (runtime/node.py).
     """
     offset = np.asarray(
         cfg.get("offset_pointcloud_matrix", np.eye(4).ravel().tolist()),
@@ -723,8 +748,9 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),
         neighborhood_passes=int(cfg.get("neighborhood_passes", 2)),
-        window_blocks=int(cfg.get("window_blocks", 1)),
+        window_blocks=_parse_window_blocks(cfg.get("window_blocks", 1)),
         knn_kmode=str(cfg.get("knn_kmode", "sweep")),
+        knn_d2mode=str(cfg.get("knn_d2mode", "highest")),
         fuse_neighborhood=bool(cfg.get("fuse_neighborhood", True)),
     )
 

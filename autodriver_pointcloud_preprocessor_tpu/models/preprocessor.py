@@ -75,9 +75,19 @@ class Preprocessor:
     def update_config(self, delta: Dict[str, object]) -> None:
         """Apply a config change. Numeric changes are free (traced params);
         stage toggles change the static settings and therefore recompile on
-        next use (bounded by the jit cache)."""
+        next use (bounded by the jit cache).
+
+        A delta that fails validation (settings_from_config raises) is
+        ROLLED BACK — the previous config stays live, so one rejected
+        reconfigure cannot poison every later one."""
+        old = dict(self.config)
         self.config.update(delta)
-        self._rebuild()
+        try:
+            self._rebuild()
+        except Exception:
+            self.config = old
+            self._rebuild()
+            raise
 
     def set_tf_matrix(self, matrix: Optional[np.ndarray]) -> None:
         """Install (or clear) the sensor->robot homogeneous transform."""

@@ -1,0 +1,51 @@
+"""Named production configurations, expressed on the PUBLIC config surface.
+
+The headline bench profile used to be a hand-built ``PipelineSettings``
+object, which meant the configuration the published numbers were measured
+on was not reachable through the reference-shaped parameter surface
+(VERDICT r3 item 2). This module states it as a plain config dict using
+the same dotted parameter names the node declares
+(runtime/node.py PARAMETER_DEFAULTS; reference parameter list:
+pointcloud_preprocessor.py:129-199) — ``bench.py`` builds its settings and
+params exclusively via ``settings_from_config`` / ``params_from_config``
+on this dict, and a node constructed with ``overrides=PRODUCTION_128K_CONFIG``
+runs the identical program (pinned by tests/test_presets.py).
+"""
+from __future__ import annotations
+
+#: The 128k-point full-pipeline production profile (the headline bench).
+#:
+#: Every stage enabled: dedup (fused into the voxel sort), non-finite,
+#: crop, voxel downsample, statistical outliers, normals, RANSAC ground.
+#: Performance posture (measured in PERF_NOTES.md round 3):
+#: * ground RANSAC on the raw post-crop cloud (remove_ground.before_voxel)
+#:   so the voxel sort emits compacted + ground-free + curve-ordered
+#:   output and the neighborhood runs at the 51200-point bucket;
+#: * compact voxel keys auto-derive to tier 'box' from the ROI/voxel-size
+#:   bound (span 80.4 m / 0.08 m = 1005 cells <= 1008);
+#: * mixed per-pass windows (1, 0): full symmetric 384-candidate window on
+#:   the free presorted pass, one-sided 256 window on the re-sorted pass;
+#: * 3-pass bf16-split distance matmul (knn_d2mode='fast3').
+#: The crop ROI bounds the bench scene (+-40 m ground plane) with margin
+#: while keeping the compact-key 'box' tier provable.
+PRODUCTION_128K_CONFIG: dict = {
+    "crop_to_roi": True,
+    "roi_min": [-40.2, -40.2, -20.0],
+    "roi_max": [40.2, 40.2, 20.0],
+    "voxel_size": 0.08,
+    "remove_statistical_outliers": True,
+    "remove_statistical_outliers.nb_neighbors": 20,
+    "remove_statistical_outliers.std_ratio": 2.0,
+    "estimate_normals": True,
+    "estimate_normals.max_neighbors": 30,
+    "estimate_normals.search_radius": 0.1,
+    "remove_ground": True,
+    "remove_ground.ransac_number": 3,
+    "remove_ground.num_iterations": 100,
+    "remove_ground.distance_threshold": 0.12,
+    "remove_ground.before_voxel": True,
+    "downsample.max_points": 51_200,
+    "knn_method": "window",
+    "knn_d2mode": "fast3",
+    "window_blocks": (1, 0),
+}

@@ -113,8 +113,20 @@ PARAMETER_DEFAULTS = [
     ("remove_ground.ransac_number", 5),
     ("remove_ground.num_iterations", 100),
     ("remove_ground.probability", 0.99),
-    ("ground_plane", [0.0, 1.0, 0.0, 0.0]),   # declared-but-unused in the
-    ("use_height", True),                      # reference (:184-185) — kept
+    # declared-but-DEAD in the reference (:184-185, :985-988); real here:
+    # ground_plane is the live traced plane for remove_ground.method=
+    # 'height', and reconfiguring use_height switches the ground method
+    # (True -> 'height', False -> 'ransac')
+    ("ground_plane", [0.0, 1.0, 0.0, 0.0]),
+    ("use_height", True),
+    # TPU performance knobs beyond the reference surface (the shipped
+    # bench profile is reachable through these; models/presets.py)
+    ("knn_method", "auto"),
+    ("neighborhood_passes", 2),
+    ("window_blocks", [1]),     # int array: one entry per pass, or [n]
+    ("knn_kmode", "sweep"),
+    ("knn_d2mode", "highest"),
+    ("fuse_neighborhood", True),
     ("override_header", False),
     ("override_header.stamp_source", "latest"),
     ("publish_normals_markers", False),
@@ -151,7 +163,10 @@ _ENGINE_KEYS = {
     "remove_ground", "remove_ground.distance_threshold",
     "remove_ground.ransac_number", "remove_ground.num_iterations",
     "remove_ground.probability",
+    "ground_plane",
     "offset_pointcloud_matrix", "offset_pointcloud_frame",
+    "knn_method", "neighborhood_passes", "window_blocks",
+    "knn_kmode", "knn_d2mode", "fuse_neighborhood",
 }
 
 
@@ -575,6 +590,14 @@ class PointcloudPreprocessorNode:
         """Public reconfigure entry (rclpy set_parameters analog)."""
         return self.params.set_parameters(params)
 
+    def set_parameters_atomically(
+        self, params: List[Parameter]
+    ) -> SetParametersResult:
+        """All-or-nothing reconfigure: the whole list reaches the callback
+        in ONE invocation, so coupled statics (``neighborhood_passes`` +
+        a per-pass ``window_blocks`` tuple) can change together."""
+        return self.params.set_parameters_atomically(params)
+
     def parameter_change_callback(self, params: List[Parameter]) -> SetParametersResult:
         """Live update of nearly every parameter (reference :817-1004).
 
@@ -583,6 +606,11 @@ class PointcloudPreprocessorNode:
         """
         result = SetParametersResult(successful=True)
         ns = self.parameter_namespace
+        # engine-config changes are collected and applied as ONE batch
+        # after the loop: coupled statics (a per-pass window_blocks tuple
+        # and neighborhood_passes) can then change together in a single
+        # set_parameters call, like rclpy's atomic parameter sets
+        engine_delta: Dict[str, object] = {}
         for param in params:
             name = param.name[len(ns):] if param.name.startswith(ns) else param.name
             value = param.value
@@ -630,10 +658,10 @@ class PointcloudPreprocessorNode:
                     result.successful = False
                     result.reason = "offset matrix must have 16 elements"
                 else:
-                    self.engine.update_config({"offset_pointcloud_matrix": list(value)})
+                    engine_delta["offset_pointcloud_matrix"] = list(value)
             elif name == "offset_pointcloud_frame":
                 self.offset_pointcloud_frame = value
-                self.engine.update_config({"offset_pointcloud_frame": value})
+                engine_delta["offset_pointcloud_frame"] = value
             elif name == "organize_cloud":
                 self.organize_cloud = value
             elif name == "save_pointcloud":
@@ -667,10 +695,13 @@ class PointcloudPreprocessorNode:
                           "remove_ground", "remove_ground.distance_threshold",
                           "remove_ground.ransac_number",
                           "remove_ground.num_iterations",
-                          "remove_ground.probability"):
+                          "remove_ground.probability",
+                          "knn_method", "neighborhood_passes",
+                          "window_blocks", "knn_kmode", "knn_d2mode",
+                          "fuse_neighborhood"):
                 if name in ("remove_nans", "remove_infs"):
                     setattr(self, name, value)
-                self.engine.update_config({name: value})
+                engine_delta[name] = value
             elif name == "downsample.max_points":
                 # the Pallas kernels need a 512-multiple capacity; that is
                 # an internal constraint, not part of the reference-shaped
@@ -678,7 +709,7 @@ class PointcloudPreprocessorNode:
                 # round UP internally (settings_from_config), logging the
                 # effective capacity. Only negatives are rejected.
                 if int(value) >= 0:
-                    self.engine.update_config({name: int(value)})
+                    engine_delta[name] = int(value)
                     eff = -(-int(value) // 512) * 512
                     if eff != int(value):
                         self.logger.info(
@@ -691,19 +722,35 @@ class PointcloudPreprocessorNode:
                     result.reason = "downsample.max_points must be >= 0"
             elif name in ("roi_min", "roi_max"):
                 if len(value) == 3:
-                    self.engine.update_config({name: list(value)})
+                    engine_delta[name] = list(value)
                 else:
                     result.successful = False
                     result.reason = "ROI min/max must be of length 3"
             elif name == "estimate_normals":
-                self.engine.update_config({name: value})
+                engine_delta[name] = value
                 self.reset_fields = True  # output schema changes (:966-970)
                 if not value and self.pointcloud_metadata:
                     self.pointcloud_metadata.pop("has_normals", None)
             elif name == "ground_plane":
-                pass  # declared-but-unused, reference :985-986
+                # dead in the reference (:985-986); LIVE here: the plane is
+                # a traced param consumed by remove_ground.method='height'
+                # (ops.remove_ground_by_height) — reconfigure moves the cut
+                # without recompiling
+                if len(value) == 4:
+                    engine_delta["ground_plane"] = list(value)
+                else:
+                    result.successful = False
+                    result.reason = "ground_plane must be [a, b, c, d]"
             elif name == "use_height":
-                pass  # declared-but-unused, reference :987-988
+                # dead in the reference (:987-988); here an explicit
+                # reconfigure switches the ground-removal method (True ->
+                # fixed-plane height cut against ground_plane, False ->
+                # RANSAC). Only an explicit set flips it — the declared
+                # default (True, matching the reference) does not override
+                # remove_ground.method at startup.
+                engine_delta["remove_ground.method"] = (
+                    "height" if value else "ransac"
+                )
             elif name == "override_header":
                 self.override_header = value
                 if value:
@@ -732,6 +779,18 @@ class PointcloudPreprocessorNode:
             self.logger.info(
                 "Success = %s for param %s to value %s", result.successful, param.name, value
             )
+        if engine_delta:
+            # one atomic engine update; validation failures (e.g. a
+            # window_blocks tuple whose length mismatches
+            # neighborhood_passes) are rolled back by the engine
+            # (Preprocessor.update_config) and reported, leaving the
+            # previous configuration live
+            try:
+                self.engine.update_config(engine_delta)
+            except (ValueError, TypeError) as e:
+                result.successful = False
+                result.reason = str(e)
+                self.logger.error("engine reconfigure rejected: %s", e)
         return result
 
     def flush_pipeline(self) -> None:

@@ -148,6 +148,31 @@ class ParameterStore:
             results.append(result)
         return results
 
+    def set_parameters_atomically(
+        self, params: List[Parameter]
+    ) -> SetParametersResult:
+        """All-or-nothing update (rclpy set_parameters_atomically analog).
+
+        Callbacks see the WHOLE list in one invocation, so coupled statics
+        (e.g. ``neighborhood_passes`` and a per-pass ``window_blocks``
+        tuple) can change together; any rejection leaves every stored
+        value untouched.
+        """
+        result = SetParametersResult(successful=True)
+        for p in params:
+            result = self._validate(p)
+            if not result.successful:
+                return result
+        for cb in self._callbacks:
+            result = cb(list(params))
+            if not result.successful:
+                return result
+        for p in params:
+            stored = self._declared[p.name]
+            stored.value = p.value
+            stored.type_ = p.type_
+        return result
+
     def _validate(self, p: Parameter) -> SetParametersResult:
         if p.name not in self._declared:
             return SetParametersResult(

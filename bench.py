@@ -64,13 +64,14 @@ def main() -> None:
     import jax.numpy as jnp
 
     from autodriver_pointcloud_preprocessor_tpu.core import from_soa, valid_count
-    from autodriver_pointcloud_preprocessor_tpu.models import (
-        PipelineParams,
-        PipelineSettings,
-        build_pipeline,
-    )
+    from autodriver_pointcloud_preprocessor_tpu.models import build_pipeline
     from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        params_from_config,
         pipeline_runner,
+        settings_from_config,
+    )
+    from autodriver_pointcloud_preprocessor_tpu.models.presets import (
+        PRODUCTION_128K_CONFIG,
     )
 
     n_points = 128_000
@@ -86,52 +87,15 @@ def main() -> None:
         capacity=capacity,
     )
 
-    settings = PipelineSettings(
-        remove_statistical_outliers=True,
-        nb_neighbors=20,
-        estimate_normals=True,
-        max_neighbors=30,
-        remove_ground=True,
-        ransac_n=3,
-        num_iterations=100,
-        knn_method="window",
-        # Round-3 production ordering (VERDICT r2 item 1a, then one step
-        # further): ground RANSAC runs on the raw post-crop cloud
-        # (elementwise scoring is order-independent), the voxel sort
-        # emits its output curve-ordered + compacted + ground-free, and
-        # the neighborhood's pass-0 sort AND the capacity shrink to
-        # 51200 collapse into a static prefix slice (presorted mode,
-        # ops/window.py). Every stage is still enabled and produces real
-        # output; the documented semantic difference vs reference stage
-        # order is that outlier stats/normals are computed on the
-        # non-ground cloud (survivor overlap vs reference order
-        # 95-99.7%, PERF_NOTES.md; pre- vs post-voxel ground parity
-        # >95% jaccard, tests/test_pipeline.py). The bucket has headroom
-        # over the ~46.5k non-ground survivors, so the shrink drops
-        # nothing (asserted below via survivors).
-        ground_before_voxel=True,
-        # safe here: the scene spans 80 m at voxel 0.08 = 1000 cells/axis
-        # (the node derives this from its crop ROI automatically)
-        voxel_compact_keys=True,
-        post_downsample_capacity=51_200,
-        # 3-pass bf16-split distance matmul (d2mode='fast3'): agreement
-        # at the presorted operating point 96.68% vs HIGHEST's 96.71%
-        # (tools/quality_presorted_knobs.py), kernel 0.427 vs 0.483
-        # ms/pass at 51k. Measured dead end (round 3): the wb0/passes=3
-        # profile — 3 narrow one-sided windows — benches SLOWER in
-        # context (2.26 vs 1.98 ms p50): the extra pass's re-sort +
-        # merge overhead exceeds the narrower windows' kernel saving,
-        # and wb0 at passes=2 is below the quality floor (93.0%).
-        knn_d2mode="fast3",
-        # mixed per-pass windows: full symmetric 384-candidate window on
-        # the FREE presorted pass, one-sided 256 window on the re-sorted
-        # pass (kernel 0.427 + 0.21 vs 0.427 x2 at 51k). Agreement at
-        # the presorted operating point 95.15% vs 96.7% all-wb1
-        # (tools/quality_presorted_knobs.py; >93% floor). wb(1,0,0)/p3
-        # measures 97.1% if quality ever outranks the ~0.2 ms.
-        window_blocks=(1, 0),
-    )
-    params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)
+    # The production profile comes in THROUGH the public config surface
+    # (VERDICT r3 item 2): the same dotted parameter names the node
+    # declares. Rationale for each knob (ground-before-voxel ordering,
+    # compact 'box' voxel keys, mixed (1, 0) per-pass windows, fast3
+    # distance matmul, 51200 shrink bucket) lives with the dict in
+    # models/presets.py; measurements in PERF_NOTES.md. tests/
+    # test_presets.py pins that this path reproduces the shipped profile.
+    settings = settings_from_config(PRODUCTION_128K_CONFIG)
+    params = params_from_config(PRODUCTION_128K_CONFIG)
     key = jax.random.PRNGKey(0)
     runner = pipeline_runner(settings)
     fn = build_pipeline(settings)
