@@ -277,7 +277,18 @@ def _map_chunks(fn, num_blocks, chunk_blocks):
 
 
 def default_backend() -> str:
-    """'pallas' on real TPU, 'xla' elsewhere (CPU tests, interpreters)."""
+    """'pallas' on real TPU, 'xla' elsewhere (CPU tests, interpreters).
+
+    ``APC_WINDOW_BACKEND`` overrides the resolution ('pallas' |
+    'pallas_interpret' | 'xla') — used by the multichip dryrun and tests
+    to force the Mosaic kernel path (interpret mode) under shard_map on
+    the virtual CPU mesh, where 'auto' would pick the XLA fallback.
+    """
+    import os
+
+    forced = os.environ.get("APC_WINDOW_BACKEND")
+    if forced:
+        return forced
     try:
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     except Exception:
@@ -521,7 +532,8 @@ def fused_neighborhood_stats(
     kmode: str = "sweep",
     bounds=None,
     d2mode: str = "highest",
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    radius2=None,
+) -> Tuple[jax.Array, ...]:
     """One shared neighborhood sweep serving BOTH statistical-outlier and
     normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
 
@@ -535,26 +547,38 @@ def fused_neighborhood_stats(
 
     ``bounds``: optional (lo[3], hi[3]) quantization box for the curve
     sorts (see ``_quantize_axes``; sharded callers pass the global bbox).
+    ``radius2``: optional second in-radius threshold (traced) — when
+    given, a 4th output is returned: the in-radius2 candidate count [N]
+    (max-merged across passes), so radius-outlier removal rides the same
+    sweep like the reordered variant / the sharded fused stage
+    (parallel/sharding.py) instead of paying a second window sweep.
     """
     if backend == "auto":
         backend = default_backend()
     n = positions.shape[-1]
+    use_r2 = radius2 is not None
 
     if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
         # sort-chained passes with the original index carried as payload;
         # one final unsort restores input order
         idx = jnp.arange(n, dtype=jnp.int32)
-        _sx, _sy, _sz, sv, (orig,), mean, count, nx, ny, nz, _c2 = (
+        _sx, _sy, _sz, sv, (orig,), mean, count, nx, ny, nz, c2 = (
             _fused_passes(
                 positions, mask, (idx,), k=k, radius=radius,
                 window_blocks=window_blocks, passes=passes,
                 interp=(backend == "pallas_interpret"), kmode=kmode,
-                bounds=bounds, d2mode=d2mode,
+                bounds=bounds, d2mode=d2mode, radius2=radius2,
             )
         )
-        mean, count, nx, ny, nz = _unsort(orig, (mean, count, nx, ny, nz))
+        rows = (mean, count, nx, ny, nz) + ((c2,) if use_r2 else ())
+        mean, count, nx, ny, nz, *rest = _unsort(orig, rows)
         normals = jnp.stack([nx, ny, nz])
-        return jnp.where(mask, mean, 0.0), normals, jnp.where(mask, count, 0.0)
+        base = (
+            jnp.where(mask, mean, 0.0), normals, jnp.where(mask, count, 0.0)
+        )
+        if use_r2:
+            return base + (jnp.where(mask, rest[0], 0.0),)
+        return base
 
     # XLA fallback: compose the two window ops (no sharing, same results).
     # Per-pass window tuples collapse to their max (a superset window —
@@ -577,6 +601,12 @@ def fused_neighborhood_stats(
         entries[0], entries[1], entries[2], entries[3], entries[4],
         entries[5], count,
     )
+    if use_r2:
+        _e2, count2 = window_normal_stats(
+            positions, mask, radius2, window_blocks=wb_flat, passes=passes,
+            backend="xla", bounds=bounds,
+        )
+        return mean, normals, count, count2
     return mean, normals, count
 
 

@@ -130,13 +130,15 @@ def _resolve_knn_method(settings: PipelineSettings, local_capacity, axis_name):
 
 
 def _window_kwargs(settings: PipelineSettings):
-    """The window-path knobs, threaded exactly like models/pipeline.py."""
+    """Window knobs for the STANDALONE sharded stages (unfused outliers/
+    radius/normals), threaded like models/pipeline.py's unfused stages:
+    per-pass tuples collapse to their max (the standalone window ops have
+    no per-pass plumbing; a superset window only improves quality). The
+    fused stage (``_sharded_fused_neighborhood``) passes the full tuple
+    and d2mode straight through instead."""
     wb = settings.window_blocks
     return dict(
         window_backend="auto" if settings.pallas_ok else "xla",
-        # per-pass tuples collapse to their max here: the sharded kernels
-        # have no per-pass plumbing, and a superset window only improves
-        # quality
         window_blocks=wb if isinstance(wb, int) else max(wb),
         passes=settings.neighborhood_passes,
     )
@@ -242,33 +244,47 @@ def _sharded_outliers(buf, settings, std_ratio, axis_name, halo):
     return buf.with_mask(keep)
 
 
-def _sharded_fused_neighborhood(buf, settings, params, axis_name, halo):
+def _sharded_fused_neighborhood(
+    buf, settings, params, axis_name, halo, fuse_radius
+):
     """Sharded analog of the pipeline's fused neighborhood stage: ONE
-    shared window sweep per shard feeds both the statistical-outlier filter
-    (psum-exact global threshold) and normal estimation — same fusion the
-    single-chip production path uses (models/pipeline.py), same documented
-    semantic (normals computed on the pre-outlier-filter cloud). The sweep
-    runs over the halo-extended slab (``_halo_exchange``)."""
+    shared window sweep per shard feeds the statistical-outlier filter
+    (psum-exact global threshold), normal estimation, and — when
+    ``fuse_radius`` — the radius-outlier count, with the SAME knobs the
+    single-chip production path threads (per-pass window_blocks tuples,
+    knn_d2mode, kmode; models/pipeline.py `neighborhood` stage) and the
+    same documented semantics (normals/counts computed on the
+    pre-outlier-filter cloud). The sweep runs over the halo-extended slab
+    (``_halo_exchange``)."""
     from ..ops.window import fused_neighborhood_stats
 
-    kw = _window_kwargs(settings)
+    backend = "auto" if settings.pallas_ok else "xla"
     pos, msk, h = _halo_exchange(buf.positions, buf.mask, axis_name, halo)
-    mean_d, normals, _count = fused_neighborhood_stats(
+    out = fused_neighborhood_stats(
         pos,
         msk,
         k=settings.nb_neighbors,
         radius=params.search_radius,
-        window_blocks=kw["window_blocks"],
-        passes=kw["passes"],
-        backend=kw["window_backend"],
+        window_blocks=settings.window_blocks,
+        passes=settings.neighborhood_passes,
+        backend=backend,
         kmode=settings.knn_kmode,
         bounds=_global_live_bounds(buf.positions, buf.mask, axis_name),
+        d2mode=settings.knn_d2mode,
+        radius2=(params.radius_search_radius if fuse_radius else None),
     )
+    mean_d, normals = out[0], out[1]
     mean_d = jax.lax.dynamic_slice_in_dim(mean_d, h, buf.capacity)
     normals = jax.lax.dynamic_slice_in_dim(normals, h, buf.capacity, axis=-1)
     keep = _global_outlier_keep(buf, mean_d, params.std_ratio, axis_name)
+    if fuse_radius:
+        count2 = jax.lax.dynamic_slice_in_dim(out[3], h, buf.capacity)
+        keep = keep & (
+            count2 >= jnp.asarray(params.radius_nb_points, count2.dtype)
+        )
     attrs = dict(buf.attributes)
-    attrs["normals"] = normals.astype(jnp.float32)
+    if settings.estimate_normals:
+        attrs["normals"] = normals.astype(jnp.float32)
     return ScanBuffer(positions=buf.positions, mask=keep, attributes=attrs)
 
 
@@ -470,9 +486,21 @@ def make_local_run(
             buf, plane = run_ground(buf)
         if settings.voxel_downsample:
             if settings.downsample_method == "voxel":
-                # local voxels; dedup fused into the same sort when enabled
+                # local voxels; dedup fused into the same sort when
+                # enabled. Compact keys thread through like single-chip —
+                # grouping is per-shard, so the caller's ROI span promise
+                # (settings_from_config) bounds every shard's live span
+                # too, and the shard-local curve box only affects output
+                # ORDER (no presorted consumer here: curve order is
+                # enabled exactly when compact keys need it, not for the
+                # single-chip presorted fast path this mesh can't use).
+                ck = settings.voxel_compact_keys
                 buf = ops.voxel_downsample(
-                    buf, params.voxel_size, dedup_exact=fuse_dedup
+                    buf, params.voxel_size,
+                    backend="auto" if settings.pallas_ok else "xla",
+                    dedup_exact=fuse_dedup,
+                    curve_order=bool(ck),
+                    compact_keys=ck,
                 )
             elif settings.downsample_method == "random":
                 shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -528,30 +556,29 @@ def make_local_run(
             buf, plane = run_ground(buf)
             if do_shrink:
                 buf = local_shrink(buf)
-        # mirror the single-chip pipeline's neighborhood fusion: one shared
-        # window sweep for outliers+normals when both are enabled on the
-        # window path (models/pipeline.py `fuse` condition)
+        # mirror the single-chip pipeline's neighborhood fusion EXACTLY
+        # (models/pipeline.py `fuse` / `fuse_radius` conditions): one
+        # shared window sweep serves statistical outliers plus at least
+        # one more consumer — normals and/or the radius-outlier count
+        # (which rides the same sweep via radius2 instead of paying its
+        # own halo exchange + window sweep)
         method = _resolve_knn_method(settings, buf.capacity, axis_name)
-        # like models/pipeline.py, the fused sweep runs the window path
-        # whenever knn_method is not explicitly 'exact' ('auto' also
-        # fuses). Narrower than single-chip: the sharded path does NOT
-        # fold radius outliers into the sweep (radius runs separately with
-        # its own halo exchange below), so fusion requires normals here.
         fuse = (
             settings.fuse_neighborhood
             and settings.remove_statistical_outliers
-            and settings.estimate_normals
+            and (settings.estimate_normals or settings.remove_radius_outliers)
             and settings.knn_method != "exact"
         )
+        fuse_radius = fuse and settings.remove_radius_outliers
         if fuse:
             buf = _sharded_fused_neighborhood(
-                buf, settings, params, axis_name, halo
+                buf, settings, params, axis_name, halo, fuse_radius
             )
         elif settings.remove_statistical_outliers:
             buf = _sharded_outliers(
                 buf, settings, params.std_ratio, axis_name, halo
             )
-        if settings.remove_radius_outliers:
+        if settings.remove_radius_outliers and not fuse_radius:
             buf = _sharded_radius_outliers(
                 buf, settings, params, axis_name, halo, method
             )
