@@ -140,8 +140,11 @@ class PipelineSettings:
     window_blocks: int | tuple = 1
     #: k-distance extraction in the Pallas window kernel: 'sweep' (exact
     #: k min-extractions — after loop unrolling it costs the same as
-    #: bisect at k=20, so exact is the default) or 'bisect' (threshold
+    #: bisect at k=20, so exact is the default), 'bisect' (threshold
     #: bisection, k-INDEPENDENT cost: cheaper when nb_neighbors is large)
+    #: or 'csel' (own-block threshold select: exact for queries whose k
+    #: nearest sit in their own curve block, ~2-3x cheaper than sweep;
+    #: quality measured in tools/quality_presorted_knobs.py)
     knn_kmode: str = "sweep"
     #: distance-matmul precision in the Pallas window kernel: 'highest'
     #: (6-pass bf16 emulation, ~2^-24) or 'fast3' (dual hi/lo split, 3
@@ -161,9 +164,10 @@ class PipelineSettings:
                 "post_downsample_capacity must be a non-negative multiple "
                 f"of 512, got {cap}"
             )
-        if self.knn_kmode not in ("sweep", "bisect"):
+        if self.knn_kmode not in ("sweep", "bisect", "csel"):
             raise ValueError(
-                f"knn_kmode must be 'sweep' or 'bisect', got {self.knn_kmode!r}"
+                "knn_kmode must be 'sweep', 'bisect' or 'csel', "
+                f"got {self.knn_kmode!r}"
             )
         if self.knn_d2mode not in ("highest", "fast3"):
             raise ValueError(

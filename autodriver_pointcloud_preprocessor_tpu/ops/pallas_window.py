@@ -55,6 +55,12 @@ from .pallas_segmean import _dot3_exact
 __all__ = ["window_stats_pallas"]
 
 _BIG = 1e30
+_CSEL_R = 2  # refinement bisections for kmode='csel'. The own-block k-th
+             # smallest is already a tight upper bound on the window k-th
+             # (exact for every query whose k nearest sit in its own 128
+             # block — the large majority in curve order), so 2 iterations
+             # close most of the residual band; quality measured in
+             # tools/quality_presorted_knobs.py.
 _BISECT = 13  # bisection iterations for kmode='bisect'. Measured round 3
               # (tools/quality_bisect_iters.py, CPU interpret): 9 iters
               # (the r2 value) gave 92.7%/85.8% outlier-classification
@@ -245,52 +251,86 @@ def _kernel(
             _, acc, cnt = carry
             mean = acc / jnp.maximum(cnt, 1.0)
         else:
-            # ---- mean distance of ~k nearest (threshold bisection) ----
-            # ~2x fewer window passes than k min-extraction sweeps: _BISECT
-            # iterations narrow a distance threshold t to where
-            # count(d2 <= t) ~= k, then one masked sum gives the mean with
-            # an at-threshold correction for the overcount. Error bound:
-            # the band width hi0/2^_BISECT (relative), on an estimate the
-            # Hilbert window already makes approximate. NOTE: when a
-            # query block has fewer than k valid candidates (sparse
-            # regions, scan edges) hi0 falls back to the full-window max
-            # below, where 9 iterations leave a ~4x wider relative band
-            # than the tight center-block bound — accuracy-sensitive
-            # callers default to kmode='sweep' (exact), so this only
-            # affects explicit 'bisect' opt-ins.
+            # ---- mean distance of ~k nearest (threshold + correction) ----
+            # Shared structure for kmode='bisect' and kmode='csel': narrow
+            # a distance threshold t to where count(d2 <= t) ~= k, then one
+            # masked sum gives the mean with an at-threshold correction for
+            # the overcount.
+            #
+            # 'bisect' starts from the query block's own max distance (a
+            # valid but loose bound) and pays _BISECT=13 full-window
+            # count passes. NOTE: when a query block has fewer than k
+            # valid candidates (sparse regions, scan edges) hi0 falls back
+            # to the full-window max below, where the iterations leave a
+            # wider relative band than the tight center-block bound —
+            # accuracy-sensitive callers default to kmode='sweep' (exact).
+            #
+            # 'csel' (round 4) starts from the own-block K-TH SMALLEST
+            # instead: k min-extraction sweeps over ONLY the query's own
+            # 128-row center slice (a static slice — 1/sub_window-th of
+            # the sweep branch's per-iteration cost) yield a threshold
+            # that is EXACT for every query whose k nearest live in its
+            # own block (the large majority in curve order: count(d2 <=
+            # thr) == k makes the correction vanish), so only _CSEL_R=2
+            # refinement passes follow. Comparisons use the
+            # mantissa-truncated d2 (consistent with the packed sweep
+            # values) so the extracted k-th element itself always counts
+            # inside.
             validd = d2 < _BIG / 2
             kf = jnp.float32(k)
             hi_full = jnp.max(
                 jnp.where(validd, d2, 0.0), axis=0, keepdims=True
             )
-            # tighter initial bound: the query block's own max distance
-            # bounds the k-th smallest whenever the block has >= k valid
-            # candidates (k=20 of 128); fall back to the window max when
-            # it does not
-            validc = validd & center_row
-            cnt_c = jnp.sum(
-                jnp.where(validc, 1.0, 0.0), axis=0, keepdims=True
-            )
-            hi_c = jnp.max(jnp.where(validc, d2, 0.0), axis=0, keepdims=True)
-            hi0 = jnp.where(cnt_c >= kf, hi_c, hi_full)
+            if kmode == "csel":
+                iters = _CSEL_R
+                d2i = pltpu.bitcast(d2, jnp.int32)
+                d2cmp = pltpu.bitcast(d2i & ~2047, jnp.float32)
+                packed_d = pltpu.bitcast((d2i & ~2047) | rows, jnp.float32)
+                own = packed_d[halo : halo + _B, :]  # (128, B) static slice
+                d = own
+                mn = jnp.min(d, axis=0, keepdims=True)
+                # UNROLLED (k static): see the sweep branch note
+                for _ in range(k - 1):
+                    d = jnp.where(d == mn, _BIG, d)
+                    mn = jnp.min(d, axis=0, keepdims=True)
+                thr_own = pltpu.bitcast(
+                    pltpu.bitcast(mn, jnp.int32) & ~2047, jnp.float32
+                )
+                # own block sparse (< k valid): fall back to the window max
+                hi0 = jnp.where(mn < _BIG / 2, thr_own, hi_full)
+            else:
+                iters = _BISECT
+                d2cmp = d2
+                # tighter initial bound: the query block's own max distance
+                # bounds the k-th smallest whenever the block has >= k
+                # valid candidates (k=20 of 128); fall back to the window
+                # max when it does not
+                validc = validd & center_row
+                cnt_c = jnp.sum(
+                    jnp.where(validc, 1.0, 0.0), axis=0, keepdims=True
+                )
+                hi_c = jnp.max(
+                    jnp.where(validc, d2, 0.0), axis=0, keepdims=True
+                )
+                hi0 = jnp.where(cnt_c >= kf, hi_c, hi_full)
             lo0 = jnp.zeros_like(hi0)
 
             def bisect(carry):
                 lo, hi = carry
                 mid = 0.5 * (lo + hi)
                 c = jnp.sum(
-                    jnp.where(d2 <= mid, 1.0, 0.0), axis=0, keepdims=True
+                    jnp.where(d2cmp <= mid, 1.0, 0.0), axis=0, keepdims=True
                 )
                 enough = c >= kf
                 return jnp.where(enough, lo, mid), jnp.where(enough, mid, hi)
 
-            # UNROLLED (_BISECT is static): see the sweep branch note —
+            # UNROLLED (iters is static): see the sweep branch note —
             # fori_loop costs ~0.9 ms/pass of Mosaic loop overhead here
             carry = (lo0, hi0)
-            for _ in range(_BISECT):
+            for _ in range(iters):
                 carry = bisect(carry)
             _lo, thr = carry
-            inside = jnp.where(d2 <= thr, 1.0, 0.0)
+            inside = jnp.where(d2cmp <= thr, 1.0, 0.0)
             cnt = jnp.sum(inside, axis=0, keepdims=True)
             sum_d = jnp.sum(
                 inside * jnp.sqrt(jnp.maximum(d2, 0.0)), axis=0, keepdims=True
@@ -301,6 +341,9 @@ def _kernel(
                 (sum_d - extra * jnp.sqrt(jnp.maximum(thr, 0.0))) / kf,
                 sum_d / jnp.maximum(cnt, 1.0),
             )
+            # the sparse-own-block fallback band can overshoot the
+            # correction; the true mean is nonnegative
+            mean = jnp.maximum(mean, 0.0)
             cnt = jnp.minimum(cnt, kf)
         results.append(
             jnp.concatenate(
@@ -473,11 +516,16 @@ def window_stats_pallas(
             block), 1 = backward (previous block). Callers running
             multiple curve passes should alternate (ops/window.py).
         interpret: run in Pallas interpreter mode (CPU tests).
-        kmode: 'sweep' = exact k min-extractions (oracle-parity; the
-            production default — after unrolling it costs the same as
-            bisect at k=20); 'bisect' = threshold bisection whose mean is
-            within the bisection band of the sweep result — its cost is
-            k-INDEPENDENT, so prefer it for large k.
+        kmode: 'sweep' = exact k min-extractions (oracle-parity; after
+            unrolling it costs the same as bisect at k=20); 'bisect' =
+            threshold bisection whose mean is within the bisection band of
+            the sweep result — its cost is k-INDEPENDENT, so prefer it for
+            large k; 'csel' (round 4, the production default) = own-block
+            threshold select: k min-sweeps over only the query's own
+            128-row center slice give the threshold (exact whenever the k
+            nearest sit in the own block — the curve-order common case),
+            refined by _CSEL_R=2 full-window bisections + the at-threshold
+            correction. ~2-3x cheaper than 'sweep' at k=20.
         radius2: optional second in-radius threshold (traced). When given,
             a fourth output — the in-radius2 candidate count [N] — is
             returned, letting radius-outlier removal ride the same sweep
@@ -496,8 +544,10 @@ def window_stats_pallas(
          may use them. Entries for invalid queries are meaningless;
          callers mask.
     """
-    if kmode not in ("sweep", "bisect"):
-        raise ValueError(f"kmode must be 'sweep' or 'bisect', got {kmode!r}")
+    if kmode not in ("sweep", "bisect", "csel"):
+        raise ValueError(
+            f"kmode must be 'sweep', 'bisect' or 'csel', got {kmode!r}"
+        )
     if d2mode not in ("highest", "fast3"):
         raise ValueError(f"d2mode must be 'highest' or 'fast3', got {d2mode!r}")
     fn = _make_window_stats(

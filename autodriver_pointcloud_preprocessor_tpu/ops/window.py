@@ -271,7 +271,23 @@ def _sorted_window_arrays(
     return order, (sx, sy, sz, sv), (wx, wy, wz, wv)
 
 
+def _chunk_size(num_blocks: int, chunk_blocks: int) -> int:
+    """Largest divisor of ``num_blocks`` that is <= ``chunk_blocks``.
+
+    The chunked XLA fallback maps ``fn`` over equal chunks; a non-divisor
+    chunk size would silently DROP the remainder blocks (found round 4:
+    halo-extended sharded slabs make nb = 136 while chunk_blocks = 64,
+    truncating 8 blocks and crashing the unsort scatter). Capacities are
+    128-multiples so nb is rarely prime; worst case degrades to cb = 1
+    (more sequential chunks, same math)."""
+    cb = min(chunk_blocks, num_blocks)
+    while num_blocks % cb:
+        cb -= 1
+    return cb
+
+
 def _map_chunks(fn, num_blocks, chunk_blocks):
+    assert num_blocks % chunk_blocks == 0, (num_blocks, chunk_blocks)
     num_chunks = max(num_blocks // chunk_blocks, 1)
     return jax.lax.map(fn, jnp.arange(num_chunks))
 
@@ -774,7 +790,7 @@ def window_mean_knn_dist(
             positions, mask, block_size, window_blocks, pass_idx, bounds
         )
         nb = sx.shape[0]
-        cb = min(chunk_blocks, nb)
+        cb = _chunk_size(nb, chunk_blocks)
         kk = min(k, wx.shape[1])
 
         def chunk_fn(ci):
@@ -860,7 +876,7 @@ def window_normal_stats(
             positions, mask, block_size, window_blocks, pass_idx, bounds
         )
         nb = sx.shape[0]
-        cb = min(chunk_blocks, nb)
+        cb = _chunk_size(nb, chunk_blocks)
 
         def chunk_fn(ci):
             s = ci * cb

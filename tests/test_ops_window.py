@@ -622,3 +622,25 @@ def test_mixed_window_blocks_tuple(rng):
         backend="xla",
     )
     assert np.isfinite(np.asarray(m_xla)[v]).all()
+
+
+def test_xla_chunking_handles_non_divisor_block_counts(rng):
+    # Found round 4 by the 16k-slab halo study: halo-extended sharded
+    # slabs make nb (row blocks) a NON-multiple of chunk_blocks (e.g.
+    # 17408/128 = 136 vs chunk_blocks=64) and _map_chunks silently
+    # dropped the remainder blocks, crashing the unsort scatter.
+    # _chunk_size now picks the largest divisor <= chunk_blocks; the
+    # result must be identical to the single-chunk run.
+    n = 136 * 128  # 136 blocks: 136 % 64 != 0
+    pts = rng.normal(size=(n - 50, 3)).astype(np.float32) * 5.0
+    buf, _ = from_soa({"positions": pts}, capacity=n)
+    kw = dict(k=8, window_blocks=2, passes=1, backend="xla")
+    m_chunked = window_mean_knn_dist(
+        buf.positions, buf.mask, chunk_blocks=64, **kw
+    )
+    m_one = window_mean_knn_dist(
+        buf.positions, buf.mask, chunk_blocks=136, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_chunked), np.asarray(m_one), rtol=1e-6, atol=1e-6
+    )

@@ -68,6 +68,22 @@ def main() -> None:
                                         d2mode="fast3")),
         ("wb(1,0,0) p3 sweep fast3", dict(window_blocks=(1, 0, 0),
                                           passes=3, d2mode="fast3")),
+        # round-4 candidates: SINGLE presorted pass with a wider window
+        # (no re-sort, no merge, no second kernel) and/or the own-block
+        # threshold k-select (kmode='csel')
+        ("wb2 p1 sweep fast3", dict(window_blocks=2, passes=1,
+                                    d2mode="fast3")),
+        ("wb3 p1 sweep fast3", dict(window_blocks=3, passes=1,
+                                    d2mode="fast3")),
+        ("wb(2,0) p2 sweep fast3", dict(window_blocks=(2, 0), passes=2,
+                                        d2mode="fast3")),
+        # own-block threshold select at the shipped operating point
+        ("wb(1,0) p2 csel fast3", dict(window_blocks=(1, 0), passes=2,
+                                       d2mode="fast3", kmode="csel")),
+        ("wb(2,0) p2 csel fast3", dict(window_blocks=(2, 0), passes=2,
+                                       d2mode="fast3", kmode="csel")),
+        ("wb1 p2 csel fast3", dict(window_blocks=1, passes=2,
+                                   d2mode="fast3", kmode="csel")),
     ]
     for name, kw in configs:
         out = fused_neighborhood_stats_reordered(
