@@ -217,3 +217,89 @@ def concatenator_main(argv=None) -> int:
             break
     print(f"wrote {outs['n']} merged scans -> {args.output_dir}")
     return 0
+
+
+def warmup_main(argv=None) -> int:
+    """Precompile a configuration's capacity buckets into the persistent
+    compilation cache (VERDICT r3 item 7: compile-budget tooling).
+
+    One XLA program exists per (capacity bucket, static settings) pair; a
+    cold deployment pays 1-8 minutes of compile per bucket the first time
+    a scan of that size arrives (the reference node starts instantly —
+    pointcloud_preprocessor.py:1052-1063 — because torch/Open3D interpret
+    eagerly). This command front-loads that cost: run it once per config
+    at image-build or deploy time, and every later process start hits the
+    persistent cache (~seconds per bucket).
+
+    Prints one line per bucket with the wall compile+first-run time.
+    """
+    ap = argparse.ArgumentParser("pointcloud_warmup")
+    ap.add_argument("--params", default=None,
+                    help="JSON file of reference-named parameters")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="parameter override, e.g. --set voxel_size=0.05")
+    ap.add_argument("--preset", default=None, choices=["production_128k"],
+                    help="start from a named production preset")
+    ap.add_argument("--buckets", default="32768,65536,131072,262144",
+                    help="comma-separated capacity ladder to precompile")
+    ap.add_argument("--attrs", default="intensity,ring",
+                    help="comma-separated attribute schema to warm "
+                         "(program identity includes the attr set); "
+                         "'' = positions-only")
+    ap.add_argument("--cache-dir", default="/tmp/jax_comp_cache")
+    args = ap.parse_args(argv)
+
+    import time
+
+    import numpy as np
+
+    overrides = {}
+    if args.preset == "production_128k":
+        from .models.presets import PRODUCTION_128K_CONFIG
+
+        overrides.update(PRODUCTION_128K_CONFIG)
+    if args.params:
+        with open(args.params) as f:
+            overrides.update(json.load(f))
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        overrides[key] = (
+            json.loads(val) if val and val[0] in "[{tf0123456789-" else val
+        )
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from .core import from_soa, valid_count
+    from .models.pipeline import (
+        params_from_config,
+        pipeline_runner,
+        settings_from_config,
+    )
+
+    settings = settings_from_config(overrides)
+    params = params_from_config(overrides)
+    runner = jax.jit(pipeline_runner(settings))
+    key = jax.random.PRNGKey(0)
+    attr_names = [a for a in args.attrs.split(",") if a]
+    rng = np.random.default_rng(0)
+    total = 0.0
+    for cap in [int(b) for b in args.buckets.split(",") if b]:
+        n = cap - cap // 16
+        soa = {"positions": rng.normal(0, 5, (n, 3)).astype(np.float32)}
+        if "intensity" in attr_names:
+            soa["intensity"] = rng.uniform(0, 255, n).astype(np.float32)
+        if "ring" in attr_names:
+            soa["ring"] = rng.integers(0, 32, n).astype(np.uint16)
+        buf, _ = from_soa(soa, capacity=cap)
+        t0 = time.perf_counter()
+        out, _plane = runner(buf, params, key)
+        survivors = int(valid_count(out))
+        dt = time.perf_counter() - t0
+        total += dt
+        print(f"warmup bucket {cap}: {dt:.1f}s (survivors {survivors})",
+              flush=True)
+    print(f"warmed {args.buckets} in {total:.1f}s -> cache {args.cache_dir}")
+    return 0

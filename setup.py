@@ -32,6 +32,7 @@ setup(
             "pointcloud_compressor = autodriver_pointcloud_preprocessor_tpu.cli:compressor_main",
             "pointcloud_loader = autodriver_pointcloud_preprocessor_tpu.cli:loader_main",
             "pointcloud_concatenator = autodriver_pointcloud_preprocessor_tpu.cli:concatenator_main",
+            "pointcloud_warmup = autodriver_pointcloud_preprocessor_tpu.cli:warmup_main",
         ],
     },
 )

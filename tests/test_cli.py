@@ -92,3 +92,34 @@ def test_concatenator_cli(tmp_path, rng):
     assert len(files) == 2
     merged = read_point_cloud(os.path.join(out, files[0]))
     assert merged["positions"].shape[0] == 250
+
+
+def test_warmup_cli(tmp_path, capsys):
+    from autodriver_pointcloud_preprocessor_tpu.cli import warmup_main
+
+    cache = str(tmp_path / "cache")
+    rc = warmup_main([
+        "--buckets", "1024,2048", "--attrs", "intensity",
+        "--cache-dir", cache,
+        "--set", "voxel_size=0.5", "--set", "estimate_normals=false",
+        "--set", "remove_statistical_outliers=false",
+    ])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "warmup bucket 1024:" in outp
+    assert "warmup bucket 2048:" in outp
+    assert "warmed 1024,2048" in outp
+
+
+def test_warmup_cli_preset(capsys):
+    # the production preset must at least resolve through the config path
+    # (tiny bucket so the CPU compile stays fast; the preset's 51200
+    # shrink is above the bucket so it is a no-op here)
+    from autodriver_pointcloud_preprocessor_tpu.cli import warmup_main
+
+    rc = warmup_main([
+        "--preset", "production_128k", "--buckets", "2048",
+        "--cache-dir", "/tmp/jax_warmup_test_cache",
+    ])
+    assert rc == 0
+    assert "warmup bucket 2048:" in capsys.readouterr().out
