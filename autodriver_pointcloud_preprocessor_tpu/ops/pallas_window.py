@@ -297,7 +297,8 @@ def _kernel(
                     pltpu.bitcast(mn, jnp.int32) & ~2047, jnp.float32
                 )
                 # own block sparse (< k valid): fall back to the window max
-                hi0 = jnp.where(mn < _BIG / 2, thr_own, hi_full)
+                sparse = mn >= _BIG / 2
+                hi0 = jnp.where(sparse, hi_full, thr_own)
             else:
                 iters = _BISECT
                 d2cmp = d2
@@ -329,20 +330,34 @@ def _kernel(
             carry = (lo0, hi0)
             for _ in range(iters):
                 carry = bisect(carry)
-            _lo, thr = carry
+            lo, thr = carry
             inside = jnp.where(d2cmp <= thr, 1.0, 0.0)
             cnt = jnp.sum(inside, axis=0, keepdims=True)
             sum_d = jnp.sum(
                 inside * jnp.sqrt(jnp.maximum(d2, 0.0)), axis=0, keepdims=True
             )
             extra = jnp.maximum(cnt - kf, 0.0)
+            # at-threshold correction stand-in for the overcounted
+            # extras: sqrt(thr) when the band is tight (bisect@13 and
+            # csel's own-block bound — extras cluster just below thr),
+            # but the BAND MIDPOINT (sqrt(thr)+sqrt(lo))/2 for csel's
+            # sparse-own-block FALLBACK, whose band after only _CSEL_R
+            # iterations is wide enough that sqrt(thr) undershoots the
+            # mean by up to 4x (measured; the midpoint halves the band
+            # error — tests/test_pallas_window.py sparse-own-block test).
+            thr_d = jnp.sqrt(jnp.maximum(thr, 0.0))
+            if kmode == "csel":
+                mid_d = 0.5 * (thr_d + jnp.sqrt(jnp.maximum(lo, 0.0)))
+                stand_in = jnp.where(sparse, mid_d, thr_d)
+            else:
+                stand_in = thr_d
             mean = jnp.where(
                 cnt >= kf,
-                (sum_d - extra * jnp.sqrt(jnp.maximum(thr, 0.0))) / kf,
+                (sum_d - extra * stand_in) / kf,
                 sum_d / jnp.maximum(cnt, 1.0),
             )
-            # the sparse-own-block fallback band can overshoot the
-            # correction; the true mean is nonnegative
+            # a wide fallback band can still overshoot the correction;
+            # the true mean is nonnegative
             mean = jnp.maximum(mean, 0.0)
             cnt = jnp.minimum(cnt, kf)
         results.append(
@@ -430,10 +445,15 @@ def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
+        # write each step's (16, qb) stat block straight into its column
+        # span of the (16, n) output — round 4: the previous
+        # (batch, nb*16, qb) layout needed a full XLA
+        # reshape/transpose/reshape after the call (~3.3 MB HBM shuffle
+        # per pass at 51k); BlockSpec expresses the layout directly.
         out_specs=pl.BlockSpec(
-            (1, 16, qb), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, 16, qb), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, nb * 16, qb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, 16, n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, _F, window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -441,11 +461,6 @@ def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
         interpret=interpret,
     )(r2, feat)
 
-    packed = (
-        packed.reshape(batch, nb, 16, qb)
-        .transpose(0, 2, 1, 3)
-        .reshape(batch, 16, n)
-    )
     return packed[:, 10], packed[:, 11], packed[:, :10], packed[:, 12]
 
 

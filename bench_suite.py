@@ -400,6 +400,52 @@ def config6_merged_1m(reps):
     _emit("1M-pt merged cloud, full pipeline", ms)
 
 
+def config7_reference_order(n_points, reps):
+    """The headline stages in REFERENCE stage order (VERDICT r3 item 6).
+
+    The production profile (bench.py) runs ground RANSAC before the voxel
+    sort so the neighborhood stage works on the post-ground 51200-point
+    bucket — a documented semantic deviation (outlier stats/normals see
+    the non-ground cloud; survivor overlap 95-99.7%). This config is the
+    honest DROP-IN number: same stages, reference order (ground LAST), no
+    reorder modes, no capacity shrink — what a user gets by default
+    before opting into the production ordering (reference stage chain:
+    pointcloud_preprocessor.py:471-530).
+    """
+    import jax
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        params_from_config,
+        pipeline_runner,
+        settings_from_config,
+    )
+    from autodriver_pointcloud_preprocessor_tpu.models.presets import (
+        PRODUCTION_128K_CONFIG,
+    )
+    from bench import _scene
+
+    cfg = dict(
+        PRODUCTION_128K_CONFIG,
+        **{"remove_ground.before_voxel": False, "downsample.max_points": 0},
+    )
+    pts = _scene(n_points)
+    rng = np.random.default_rng(1)
+    buf, _ = from_soa(
+        {
+            "positions": pts,
+            "intensity": rng.uniform(0, 255, n_points).astype(np.float32),
+            "ring": rng.integers(0, 32, n_points).astype(np.uint16),
+        },
+        capacity=131_072,
+    )
+    settings = settings_from_config(cfg)
+    params = params_from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    ms = _chained_ms(pipeline_runner(settings), buf, params, key, reps)
+    _emit("reference-stage-order 128k full pipeline (ground last)", ms)
+
+
 def main():
     import jax
 
@@ -408,7 +454,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=128_000)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     args = ap.parse_args()
     wanted = {int(c) for c in args.configs.split(",")}
     if 1 in wanted:
@@ -423,6 +469,8 @@ def main():
         config5_pcap_streaming(args.reps)
     if 6 in wanted:
         config6_merged_1m(args.reps)
+    if 7 in wanted:
+        config7_reference_order(args.points, args.reps)
 
 
 if __name__ == "__main__":

@@ -191,3 +191,64 @@ def test_half_window_fast_profile_directions(rng):
     assert np.median(rel) < 0.05, np.median(rel)
     # directions genuinely differ (different candidate sets)
     assert (m_fwd != m_bwd).any()
+
+
+def test_csel_kmode_matches_sweep(rng):
+    # round 4: own-block threshold select. Queries whose k nearest live
+    # in their own 128 block are exact to packing precision (2^-12); for
+    # the rest the at-threshold correction bounds the error to the
+    # _CSEL_R=2 refinement band (~1% of the threshold) — the measured
+    # median relerr is ~5e-3 here and ~1e-2 at the production operating
+    # point (tools/quality_presorted_knobs.py), with classification
+    # agreement within 0.3pp of the exact sweep.
+    pts, valid = _sorted_cloud(rng, n=1024, invalid_tail=12)
+    order = np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+    valid = valid[order]
+    args = [jnp.asarray(pts[:, i]) for i in range(3)] + [jnp.asarray(valid)]
+    k = 8
+    out = {}
+    for kmode in ("sweep", "csel"):
+        mean, cnt, _ = window_stats_pallas(
+            *args, 0.5, k=k, window_blocks=1, interpret=True, kmode=kmode,
+        )
+        out[kmode] = (np.asarray(mean), np.asarray(cnt))
+    ms, mc = out["sweep"][0][valid], out["csel"][0][valid]
+    # counts identical: csel never undercounts below k when sweep reaches k
+    np.testing.assert_array_equal(out["sweep"][1][valid],
+                                  out["csel"][1][valid])
+    # this lexsort-ordered gaussian is a WORST case for own-block
+    # locality (production uses Hilbert order: agreement within 0.3pp of
+    # sweep); measured here: median 4.9e-3, p99 0.14, max 0.30
+    rel = np.abs(ms - mc) / np.maximum(ms, 1e-6)
+    assert np.median(rel) < 1e-2, np.median(rel)
+    assert np.percentile(rel, 99) < 0.25, np.percentile(rel, 99)
+    assert rel.max() < 0.5, rel.max()
+
+
+def test_csel_kmode_sparse_own_block(rng):
+    # scan-edge case: fewer than k valid candidates in the query's own
+    # block — csel falls back to the full-window max bound; the mean must
+    # stay finite, nonnegative, and within the (wide) fallback band of
+    # the sweep's exact value.
+    n = 256
+    pts = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[:40] = True  # only the first block has (a few) valid points
+    valid[128:133] = True  # second block: 5 valid < k
+    args = [jnp.asarray(pts[:, i]) for i in range(3)] + [jnp.asarray(valid)]
+    k = 8
+    mean_s, cnt_s, _ = window_stats_pallas(
+        *args, 0.5, k=k, window_blocks=1, interpret=True, kmode="sweep",
+    )
+    mean_c, cnt_c, _ = window_stats_pallas(
+        *args, 0.5, k=k, window_blocks=1, interpret=True, kmode="csel",
+    )
+    ms, mc = np.asarray(mean_s)[valid], np.asarray(mean_c)[valid]
+    assert np.isfinite(mc).all() and (mc >= 0).all()
+    np.testing.assert_array_equal(np.asarray(cnt_s)[valid],
+                                  np.asarray(cnt_c)[valid])
+    # fallback band: correct to within 2x on every sparse query
+    ratio = mc / np.maximum(ms, 1e-6)
+    assert (ratio > 0.4).all() and (ratio < 2.5).all(), (
+        ratio.min(), ratio.max())

@@ -62,14 +62,19 @@ def main() -> None:
 
         return sum(red(leaf) for leaf in jax.tree_util.tree_leaves(out))
 
+    from autodriver_pointcloud_preprocessor_tpu.ops import pallas_window as pw
+
     variants = [
-        ("sweep wb(1,0) [shipped r3]", {}),
-        ("csel  wb(1,0)", {"knn_kmode": "csel"}),
-        ("csel  wb(2,0)", {"knn_kmode": "csel", "window_blocks": (2, 0)}),
-        ("csel  wb1", {"knn_kmode": "csel", "window_blocks": (1, 1)}),
+        ("sweep wb(1,0) _G4 [shipped r3]", {}, 4),
+        ("csel  wb(1,0) _G4", {"knn_kmode": "csel"}, 4),
+        ("csel  wb(1,0) _G16", {"knn_kmode": "csel"}, 16),
+        ("csel  wb(2,0) _G16",
+         {"knn_kmode": "csel", "window_blocks": (2, 0)}, 16),
     ]
-    K, reps = 32, 7
-    for name, delta in variants:
+    K, reps = 64, 9
+    for name, delta, g in variants:
+        pw._G = g
+        pw._make_window_stats.cache_clear()
         cfg = dict(PRODUCTION_128K_CONFIG, **delta)
         settings = settings_from_config(cfg)
         params = params_from_config(cfg)

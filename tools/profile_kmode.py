@@ -99,6 +99,38 @@ def main() -> None:
         pw._CSEL_R = saved
         pw._make_window_stats.cache_clear()
 
+    # floor probes: k=1 sweep approximates the select-free pass cost
+    # (DMA + d2 + moments + output); _G widens the per-step group, so a
+    # per-STEP overhead shows as a drop while per-sub-block cost does not.
+    def call_k1(x):
+        return pw.window_stats_pallas(
+            x, sy, sz, sv, 0.1, k=1, d2mode="fast3",
+            window_blocks=1, kmode="sweep",
+        )
+
+    timed(call_k1, "wb1 sweep k=1 (floor probe)")
+    for g in (8, 16):
+        pw._G, saved_g = g, pw._G
+        pw._make_window_stats.cache_clear()
+
+        def call_g(x):
+            return pw.window_stats_pallas(
+                x, sy, sz, sv, 0.1, k=20, d2mode="fast3",
+                window_blocks=1, kmode="csel",
+            )
+
+        timed(call_g, f"wb1 csel _G={g}")
+
+        def call_gs(x):
+            return pw.window_stats_pallas(
+                x, sy, sz, sv, 0.1, k=20, d2mode="fast3",
+                window_blocks=1, kmode="sweep",
+            )
+
+        timed(call_gs, f"wb1 sweep _G={g}")
+        pw._G = saved_g
+        pw._make_window_stats.cache_clear()
+
 
 if __name__ == "__main__":
     main()
