@@ -71,7 +71,13 @@ _BISECT = 13  # bisection iterations for kmode='bisect'. Measured round 3
               # sweep only for large nb_neighbors).
 _B = 128  # sweep block: keeps the k-extraction loop carry small (a (window,
           # 512) carry spills VMEM and measures ~1.5x slower end to end)
-_G = 4  # sweep blocks per grid step: one wide DMA amortizes per-step cost
+_G = 16  # MAX sweep blocks per grid step: one wide DMA + fewer grid steps
+         # amortize per-step cost. _call_batched picks the largest of
+         # (16, 8, 4) that divides n/128 (else 1). Round-4 measured
+         # (51200 rows, csel): _G=4 0.380, _G=8 0.370, _G=16 0.330
+         # ms/pass; pipeline p50 1.768 -> 1.723 ms. Per-sub-block work
+         # (matmuls, sweeps) is unchanged — the win is pure per-step
+         # overhead (~0.7 us/step).
 _F = 4  # HBM rows per scan: x, y, z, BIG*invalid
 
 
@@ -377,7 +383,11 @@ def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
     window DMA prefetches across batch boundaries (linear step order).
     """
     batch, n = sx.shape
-    qb = _G * _B if n % (_G * _B) == 0 else _B
+    qb = _B
+    for g in (_G, 8, 4):
+        if n % (g * _B) == 0:
+            qb = g * _B
+            break
     assert n % qb == 0, f"sorted length {n} not a multiple of {qb}"
     nb = n // qb
     if window_blocks > 0:

@@ -136,8 +136,12 @@ def main() -> None:
             return acc + _consume(out) * 1e-30
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
-    K = 32
-    reps = 7
+    # K=64/reps=9 (round 4, was 32/7): the tunnel's sync noise lands on
+    # T(1) and divides by K-1, so doubling the chain halves the p50's
+    # run-to-run band (PERF_NOTES: single-run deltas under ~0.15 ms are
+    # noise at K=32)
+    K = 64
+    reps = 9
     t = {}
     for n_iter in (1, K):
         np.asarray(chain(buf, params, key, n_iter))  # compile + settle

@@ -686,3 +686,50 @@ def test_window_quality_floor_hdl32_multirev_scan():
     cw = mw <= mw.mean() + mw.std()
     agree = (ce == cw).mean()
     assert agree > 0.98, agree
+
+
+def test_presorted_quality_floor_shipped_csel_profile():
+    # floor for the SHIPPED round-4 production profile (window_blocks
+    # (1, 0), passes=2, d2mode='fast3', kmode='csel') on the presorted
+    # path. Measured round 4 (tools/quality_presorted_knobs.py, 32k
+    # bench scene -> voxel 0.08): 94.92% outlier-classification
+    # agreement vs exact KD-tree (exact-sweep same windows: 95.15%).
+    # Floor 93% — the same bar the round-3 profile was held to.
+    from scipy.spatial import cKDTree
+
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops import (
+        mask_non_finite,
+        voxel_downsample,
+    )
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+    import bench as B
+
+    pts = B._scene(16_000)
+    buf, _ = from_soa({"positions": pts}, capacity=16384)
+    buf = mask_non_finite(buf, True, True)
+    vox = voxel_downsample(buf, 0.08, backend="xla", curve_order=True,
+                           compact_keys=True)
+    live = np.asarray(vox.mask)
+    vp = np.asarray(vox.positions)[:, live].T
+    k = 20
+    exact = cKDTree(vp).query(vp, k=k)[0].mean(axis=1)
+
+    out = fused_neighborhood_stats_reordered(
+        vox.positions, vox.mask, {}, k=k, radius=0.1,
+        window_blocks=(1, 0), passes=2, d2mode="fast3", kmode="csel",
+        backend="pallas_interpret", presorted=True,
+    )
+    pos_r, m_r, _attrs, mean_r = out[0], out[1], out[2], out[3]
+    m = np.asarray(m_r)
+    Pr = np.asarray(pos_r)[:, m].T
+    mw = np.asarray(mean_r)[m]
+    oa = np.lexsort(vp.T)
+    ob = np.lexsort(Pr.T)
+    np.testing.assert_allclose(vp[oa], Pr[ob], atol=0)
+    ce = exact[oa] <= exact.mean() + exact.std()
+    cw = mw[ob] <= mw[ob].mean() + mw[ob].std()
+    agree = (ce == cw).mean()
+    assert agree > 0.93, agree

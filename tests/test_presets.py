@@ -36,6 +36,7 @@ def test_production_config_reproduces_bench_settings():
         voxel_compact_keys="box",  # auto-derived: 80.4 m / 0.08 m = 1005 cells
         post_downsample_capacity=51_200,
         knn_d2mode="fast3",
+        knn_kmode="csel",
         window_blocks=(1, 0),
     )
     p = params_from_config(PRODUCTION_128K_CONFIG)

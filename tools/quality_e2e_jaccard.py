@@ -48,29 +48,22 @@ def main() -> None:
     params = PipelineParams.make(voxel_size=0.08, distance_threshold=0.12)
     key = jax.random.PRNGKey(0)
 
-    # the bench's exact settings object (monkey-light: rebuild via the
-    # module's own constructor call by running main()'s settings block is
-    # brittle; instead replicate through dataclasses.replace on a probe)
-    bench_settings = PipelineSettings(
-        remove_statistical_outliers=True,
-        nb_neighbors=20,
-        estimate_normals=True,
-        max_neighbors=30,
-        remove_ground=True,
-        ransac_n=3,
-        num_iterations=100,
-        knn_method="window",
-        ground_before_voxel=True,
-        voxel_compact_keys=True,
-        post_downsample_capacity=51_200,
-        knn_d2mode="fast3",
-        window_blocks=(1, 0),
+    # the bench's exact settings object, via the SAME public config path
+    # bench.py uses (models/presets.py) — cannot drift from what ships
+    from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
+        settings_from_config,
     )
+    from autodriver_pointcloud_preprocessor_tpu.models.presets import (
+        PRODUCTION_128K_CONFIG,
+    )
+
+    bench_settings = settings_from_config(PRODUCTION_128K_CONFIG)
     exact_settings = dataclasses.replace(
         bench_settings,
         knn_method="exact",
         window_blocks=1,
         knn_d2mode="highest",
+        knn_kmode="sweep",
     )
 
     def survivors(settings):
