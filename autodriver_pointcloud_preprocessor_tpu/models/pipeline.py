@@ -156,6 +156,14 @@ class PipelineSettings:
     #: fused_neighborhood_stats). ~2x faster; documented semantic: normals
     #: are computed on the pre-outlier-filter cloud.
     fuse_neighborhood: bool = True
+    #: merge covariance entries across neighborhood passes, picking the
+    #: higher-count pass per point (default). False = normals from pass 0
+    #: only: 3 normal rows ride the re-sorts instead of 6 entry rows and
+    #: later passes skip the moment matmul — measured ~0.1 ms at 51k;
+    #: ~9% of normals take the (usually narrower) pass-0 window where
+    #: pass 1 would have won the count merge. kNN means and radius counts
+    #: still merge across passes either way.
+    normals_merge_passes: bool = True
 
     def __post_init__(self):
         cap = self.post_downsample_capacity
@@ -531,6 +539,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                 radius2=(p.radius_search_radius if fuse_radius else None),
                 d2mode=settings.knn_d2mode,
                 presorted=presorted,
+                entries_merge=settings.normals_merge_passes,
             )
             pos, valid, attrs, mean_d, normals, _count = out[:6]
             # global outlier threshold (reference :514-519 semantics)
@@ -756,6 +765,7 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         knn_kmode=str(cfg.get("knn_kmode", "sweep")),
         knn_d2mode=str(cfg.get("knn_d2mode", "highest")),
         fuse_neighborhood=bool(cfg.get("fuse_neighborhood", True)),
+        normals_merge_passes=bool(cfg.get("normals_merge_passes", True)),
     )
 
 

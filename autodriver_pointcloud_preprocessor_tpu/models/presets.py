@@ -54,4 +54,10 @@ PRODUCTION_128K_CONFIG: dict = {
     "knn_d2mode": "fast3",
     "knn_kmode": "csel",
     "window_blocks": (1, 0),
+    # normals from pass 0 only: 3 normal rows ride the pass-1 re-sort
+    # instead of 6 covariance entries and pass 1 skips the moment matmul.
+    # Free at this operating point: kNN means are bit-identical and
+    # normals-vs-exact-PCA agreement measures 95.0% within 10 degrees
+    # WITH OR WITHOUT the merge (bench scene, round 4).
+    "normals_merge_passes": False,
 }

@@ -121,6 +121,7 @@ def _kernel(
     dma_off: int,
     qoff: int,
     d2mode: str,
+    moments_on: bool,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -208,18 +209,23 @@ def _kernel(
         # about the block origin c0 — origin-invariant consumers only.
         # w is 0/1, so the 3-term bf16 split is f32-exact at half the
         # HIGHEST pass count (ops/pallas_segmean._dot3_exact).
-        w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
-        gmat = jnp.concatenate(
-            [
-                one, cxc, cyc, czc,
-                cxc * cxc, cyc * cyc, czc * czc,
-                cxc * cyc, cxc * czc, cyc * czc,
-            ],
-            axis=0,
-        )
-        moments = _dot3_exact(
-            gmat, w, dims=(((1,), (0,)), ((), ()))
-        )
+        # `moments=False` (round 4: merge-free later passes when normals
+        # come from pass 0 only) skips the 3 MXU passes and emits zeros.
+        if moments_on:
+            w = jnp.where((d2 <= r2) & (d2 < _BIG / 2), 1.0, 0.0)
+            gmat = jnp.concatenate(
+                [
+                    one, cxc, cyc, czc,
+                    cxc * cxc, cyc * cyc, czc * czc,
+                    cxc * cyc, cxc * czc, cyc * czc,
+                ],
+                axis=0,
+            )
+            moments = _dot3_exact(
+                gmat, w, dims=(((1,), (0,)), ((), ()))
+            )
+        else:
+            moments = jnp.zeros((10, _B), jnp.float32)
 
         if kmode == "sweep":
             # ---- mean distance of k nearest (min-extraction sweeps) ----
@@ -375,7 +381,8 @@ def _kernel(
 
 
 def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
-                  interpret, kmode, direction=0, d2mode="highest"):
+                  interpret, kmode, direction=0, d2mode="highest",
+                  moments_on=True):
     """Batched kernel invocation:
     (B, N) rows -> mean (B, N), cnt (B, N), mom (B, 10, N), cnt2 (B, N).
 
@@ -449,6 +456,7 @@ def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
         functools.partial(
             _kernel, k=k, window=window, qb=qb, kmode=kmode,
             dma_off=dma_off, qoff=qoff, d2mode=d2mode,
+            moments_on=moments_on,
         ),
         grid=(batch, nb),
         in_specs=[
@@ -476,7 +484,8 @@ def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
 
 @functools.lru_cache(maxsize=32)
 def _make_window_stats(k: int, window_blocks: int, interpret: bool,
-                       kmode: str, direction: int, d2mode: str):
+                       kmode: str, direction: int, d2mode: str,
+                       moments_on: bool = True):
     """custom_vmap wrapper per static config: vmapping routes to the batch
     grid dimension instead of Mosaic's (unsupported) pallas batching."""
 
@@ -486,6 +495,7 @@ def _make_window_stats(k: int, window_blocks: int, interpret: bool,
             sx[None], sy[None], sz[None], sv[None], radius, radius2,
             k=k, window_blocks=window_blocks, interpret=interpret,
             kmode=kmode, direction=direction, d2mode=d2mode,
+            moments_on=moments_on,
         )
         return mean[0], cnt[0], mom[0], cnt2[0]
 
@@ -503,6 +513,7 @@ def _make_window_stats(k: int, window_blocks: int, interpret: bool,
             bcast(jnp.asarray(radius2, jnp.float32), br2),
             k=k, window_blocks=window_blocks, interpret=interpret,
             kmode=kmode, direction=direction, d2mode=d2mode,
+            moments_on=moments_on,
         )
         return out, (True, True, True, True)
 
@@ -522,6 +533,7 @@ def window_stats_pallas(
     direction: int = 0,
     radius2=None,
     d2mode: str = "highest",
+    moments: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """Windowed stats over curve-sorted planar rows.
 
@@ -559,6 +571,10 @@ def window_stats_pallas(
             passes, ~2^-24); 'fast3' = dual hi/lo bf16 split dropping the
             lo*lo term (3 passes, ~2^-16 of the window span^2 — see
             _dot_fast3; below the k-select packing noise).
+        moments: when False, skip the covariance-moment matmul entirely
+            (3 MXU passes) and emit zero moment rows — for merge-free
+            later passes when normals come from pass 0 only
+            (ops/window._fused_passes entries_merge=False).
     Returns:
         (mean_knn_dist float32[N], knn_count float32[N],
          moments float32[10, N]) — moments rows are
@@ -577,7 +593,7 @@ def window_stats_pallas(
         raise ValueError(f"d2mode must be 'highest' or 'fast3', got {d2mode!r}")
     fn = _make_window_stats(
         k, window_blocks, interpret, kmode,
-        direction if window_blocks == 0 else 0, d2mode,
+        direction if window_blocks == 0 else 0, d2mode, moments,
     )
     out = fn(
         sorted_x, sorted_y, sorted_z, sorted_valid,

@@ -391,7 +391,8 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
 
 def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
                   passes, interp, kmode, shrink_to=0, radius2=None,
-                  d2mode="highest", presorted=False, bounds=None):
+                  d2mode="highest", presorted=False, bounds=None,
+                  entries_merge=True):
     """Shared sort-chained multi-pass core of the fused neighborhood ops.
 
     Runs ``passes`` curve passes through the Pallas kernel, chaining each
@@ -419,6 +420,14 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
     ``window_blocks`` may be a per-pass tuple (len == ``passes``): mixed
     profiles run a full symmetric window on the free presorted pass and
     cheaper one-sided windows on the re-sorted passes.
+
+    ``entries_merge=False`` (round 4, opt-in): normals come from PASS 0
+    only — the eigens are solved in pass-0 order and 3 normal rows ride
+    the re-sorts instead of 6 covariance-entry rows, and later passes
+    skip the moment matmul entirely (``moments=False``, 3 MXU passes per
+    sub-block). Pass 0's symmetric window usually wins the per-point
+    best-count merge anyway (it sees the widest window of the mixed
+    profile); quality cost measured in tools/quality_presorted_knobs.py.
     """
     from .normals import _normals_from_entries
     from .pallas_window import window_stats_pallas
@@ -431,11 +440,11 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
     )
     assert len(wbs) == passes, (wbs, passes)
 
-    def one_pass(px, py, pz, pv, direction, wb):
+    def one_pass(px, py, pz, pv, direction, wb, moments=True):
         out = window_stats_pallas(
             px, py, pz, pv, radius, k=k, window_blocks=wb,
             interpret=interp, kmode=kmode, direction=direction,
-            radius2=radius2, d2mode=d2mode,
+            radius2=radius2, d2mode=d2mode, moments=moments,
         )
         mean_s, _cnt_s, mom_s = out[:3]
         cnt2_s = out[3] if use_r2 else None
@@ -505,28 +514,48 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             bounds=bounds,
         )
     mean, count, ent, cnt2 = one_pass(sx, sy, sz, sv, 0, wbs[0])
+    if not entries_merge:
+        # solve the eigens NOW (pass-0 order); 3 normal rows ride the
+        # re-sorts instead of 6 entry rows
+        nrm0 = _normals_from_entries(
+            ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
+        )
+        stat3 = (nrm0[0], nrm0[1], nrm0[2])
     for p_i in range(1, passes):
-        stat_rows = (mean, count, *ent) + ((cnt2,) if use_r2 else ())
+        ent_rows = ent if entries_merge else stat3
+        stat_rows = (mean, count, *ent_rows) + ((cnt2,) if use_r2 else ())
         sx, sy, sz, sv, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
             extra=(*carry, *stat_rows), with_idx=False, bounds=bounds,
         )
         ns = len(stat_rows)
         carry, stat_rows = rest[:-ns], rest[-ns:]
-        mean, count, ent = stat_rows[0], stat_rows[1], stat_rows[2:8]
-        cnt2 = stat_rows[8] if use_r2 else None
-        m2, c2, ent2, cnt2b = one_pass(sx, sy, sz, sv, p_i % 2, wbs[p_i])
-        mean = jnp.minimum(mean, m2)
-        better = c2 > count
-        ent = tuple(
-            jnp.where(better, e2, e1) for e1, e2 in zip(ent, ent2)
+        mean, count = stat_rows[0], stat_rows[1]
+        ne = 6 if entries_merge else 3
+        cnt2 = stat_rows[2 + ne] if use_r2 else None
+        m2, c2, ent2, cnt2b = one_pass(
+            sx, sy, sz, sv, p_i % 2, wbs[p_i], moments=entries_merge
         )
-        count = jnp.where(better, c2, count)
+        mean = jnp.minimum(mean, m2)
+        if entries_merge:
+            ent = stat_rows[2:8]
+            better = c2 > count
+            ent = tuple(
+                jnp.where(better, e2, e1) for e1, e2 in zip(ent, ent2)
+            )
+            count = jnp.where(better, c2, count)
+        else:
+            # normals/count stay pass-0's (consistent pair); the kNN mean
+            # and the radius count still merge across passes
+            stat3 = stat_rows[2:5]
         if use_r2:
             cnt2 = jnp.maximum(cnt2, cnt2b)
-    nrm = _normals_from_entries(
-        ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
-    )
+    if entries_merge:
+        nrm = _normals_from_entries(
+            ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
+        )
+    else:
+        nrm = stat3
     return (sx, sy, sz, sv, tuple(carry), mean, count,
             nrm[0], nrm[1], nrm[2], cnt2)
 
@@ -534,7 +563,8 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "window_blocks", "passes", "backend", "kmode", "d2mode"
+        "k", "window_blocks", "passes", "backend", "kmode", "d2mode",
+        "entries_merge",
     ),
 )
 def fused_neighborhood_stats(
@@ -549,6 +579,7 @@ def fused_neighborhood_stats(
     bounds=None,
     d2mode: str = "highest",
     radius2=None,
+    entries_merge: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """One shared neighborhood sweep serving BOTH statistical-outlier and
     normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
@@ -584,6 +615,7 @@ def fused_neighborhood_stats(
                 window_blocks=window_blocks, passes=passes,
                 interp=(backend == "pallas_interpret"), kmode=kmode,
                 bounds=bounds, d2mode=d2mode, radius2=radius2,
+                entries_merge=entries_merge,
             )
         )
         rows = (mean, count, nx, ny, nz) + ((c2,) if use_r2 else ())
@@ -641,6 +673,7 @@ def fused_neighborhood_stats_reordered(
     d2mode: str = "highest",
     presorted: bool = False,
     bounds=None,
+    entries_merge: bool = True,
 ):
     """`fused_neighborhood_stats` that REORDERS the buffer instead of
     unsorting the stats.
@@ -714,7 +747,7 @@ def fused_neighborhood_stats_reordered(
         window_blocks=window_blocks, passes=passes,
         interp=(backend == "pallas_interpret"), kmode=kmode,
         shrink_to=shrink_to, radius2=radius2, d2mode=d2mode,
-        presorted=presorted, bounds=bounds,
+        presorted=presorted, bounds=bounds, entries_merge=entries_merge,
     )
 
     out_attrs = {}

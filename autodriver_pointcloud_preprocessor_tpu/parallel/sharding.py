@@ -272,6 +272,7 @@ def _sharded_fused_neighborhood(
         bounds=_global_live_bounds(buf.positions, buf.mask, axis_name),
         d2mode=settings.knn_d2mode,
         radius2=(params.radius_search_radius if fuse_radius else None),
+        entries_merge=settings.normals_merge_passes,
     )
     mean_d, normals = out[0], out[1]
     mean_d = jax.lax.dynamic_slice_in_dim(mean_d, h, buf.capacity)

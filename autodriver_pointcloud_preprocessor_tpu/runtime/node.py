@@ -127,6 +127,7 @@ PARAMETER_DEFAULTS = [
     ("knn_kmode", "sweep"),
     ("knn_d2mode", "highest"),
     ("fuse_neighborhood", True),
+    ("normals_merge_passes", True),
     ("override_header", False),
     ("override_header.stamp_source", "latest"),
     ("publish_normals_markers", False),
@@ -167,6 +168,7 @@ _ENGINE_KEYS = {
     "offset_pointcloud_matrix", "offset_pointcloud_frame",
     "knn_method", "neighborhood_passes", "window_blocks",
     "knn_kmode", "knn_d2mode", "fuse_neighborhood",
+    "normals_merge_passes",
 }
 
 
@@ -698,7 +700,7 @@ class PointcloudPreprocessorNode:
                           "remove_ground.probability",
                           "knn_method", "neighborhood_passes",
                           "window_blocks", "knn_kmode", "knn_d2mode",
-                          "fuse_neighborhood"):
+                          "fuse_neighborhood", "normals_merge_passes"):
                 if name in ("remove_nans", "remove_infs"):
                     setattr(self, name, value)
                 engine_delta[name] = value

@@ -733,3 +733,36 @@ def test_presorted_quality_floor_shipped_csel_profile():
     cw = mw[ob] <= mw[ob].mean() + mw[ob].std()
     agree = (ce == cw).mean()
     assert agree > 0.93, agree
+
+
+def test_entries_merge_off_matches_means_and_normal_quality(rng):
+    # normals_merge_passes=False (round 4, shipped): kNN means must be
+    # BIT-IDENTICAL (the mean merge is untouched); normals come from
+    # pass 0 only — on the bench scene the vs-exact-PCA agreement is
+    # identical with or without the merge (95.0% within 10 degrees), so
+    # this pins alignment + mean equality and that the two modes' normal
+    # fields agree for the large majority of points.
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+
+    pts = rng.normal(size=(1500, 3)).astype(np.float32) * 2.0
+    buf, _ = from_soa({"positions": pts}, capacity=2048)
+    outs = {}
+    for em in (True, False):
+        outs[em] = fused_neighborhood_stats_reordered(
+            buf.positions, buf.mask, {}, k=8, radius=0.5,
+            window_blocks=(1, 0), passes=2, d2mode="fast3", kmode="csel",
+            backend="pallas_interpret", entries_merge=em,
+        )
+    m1, m2 = np.asarray(outs[True][1]), np.asarray(outs[False][1])
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][3])[m1], np.asarray(outs[False][3])[m2]
+    )
+    n1 = np.asarray(outs[True][4])[:, m1]
+    n2 = np.asarray(outs[False][4])[:, m2]
+    dot = np.abs((n1 * n2).sum(0))
+    assert np.median(dot) > 0.999
+    assert (dot > 0.99).mean() > 0.85  # ~9% legitimately take pass-0's window

@@ -38,6 +38,7 @@ def test_production_config_reproduces_bench_settings():
         knn_d2mode="fast3",
         knn_kmode="csel",
         window_blocks=(1, 0),
+        normals_merge_passes=False,
     )
     p = params_from_config(PRODUCTION_128K_CONFIG)
     assert float(p.voxel_size) == pytest.approx(0.08)
