@@ -61,3 +61,15 @@ PRODUCTION_128K_CONFIG: dict = {
     # WITH OR WITHOUT the merge (bench scene, round 4).
     "normals_merge_passes": False,
 }
+
+#: Quality-first variant of the production profile (round 4): a wider
+#: symmetric first window — wb(2,0) with the own-block select costs only
+#: ~0.3 ms over the shipped profile (measured 1.85 vs 1.56 ms p50)
+#: because csel's select cost is window-independent, and buys 95.6%
+#: outlier-classification agreement vs the shipped 94.9% (exact-sweep
+#: wb(1,0): 95.15%). Same stage semantics; pass-merged normals kept.
+PRODUCTION_128K_QUALITY_CONFIG: dict = {
+    **PRODUCTION_128K_CONFIG,
+    "window_blocks": (2, 0),
+    "normals_merge_passes": True,
+}

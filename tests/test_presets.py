@@ -135,3 +135,16 @@ def test_use_height_reconfigure_switches_ground_method():
     assert node.engine.settings.ground_method == "height"
     assert _set(node, "use_height", False).successful
     assert node.engine.settings.ground_method == "ransac"
+
+
+def test_quality_preset_resolves():
+    from autodriver_pointcloud_preprocessor_tpu.models.presets import (
+        PRODUCTION_128K_QUALITY_CONFIG,
+    )
+
+    s = settings_from_config(PRODUCTION_128K_QUALITY_CONFIG)
+    assert s.window_blocks == (2, 0)
+    assert s.knn_kmode == "csel"
+    assert s.normals_merge_passes is True
+    # everything else inherits the production profile
+    assert s.ground_before_voxel and s.post_downsample_capacity == 51_200
