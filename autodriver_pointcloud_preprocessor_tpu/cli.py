@@ -14,6 +14,19 @@ import os
 import sys
 
 
+def _parse_set_value(val: str):
+    """``--set key=value`` value coercion: try JSON for anything that could
+    be a number/bool/list/dict, but fall back to the raw string — values
+    like ``knn_d2mode=fast3`` or ``downsample_method=farthest`` start with a
+    JSON-looking character yet are legitimate strings."""
+    if val and val[0] in "[{tf0123456789-":
+        try:
+            return json.loads(val)
+        except json.JSONDecodeError:
+            return val
+    return val
+
+
 def preprocessor_main(argv=None) -> int:
     """Preprocess clouds from a directory/file/PCAP through the TPU engine."""
     ap = argparse.ArgumentParser("pointcloud_preprocessor")
@@ -40,7 +53,7 @@ def preprocessor_main(argv=None) -> int:
             overrides.update(json.load(f))
     for kv in args.set:
         key, _, val = kv.partition("=")
-        overrides[key] = json.loads(val) if val and val[0] in "[{tf0123456789-" else val
+        overrides[key] = _parse_set_value(val)
 
     engine = Preprocessor(overrides, profile=args.profile)
     loader = PointcloudLoader(args.source, rate_hz=0)
@@ -263,9 +276,7 @@ def warmup_main(argv=None) -> int:
             overrides.update(json.load(f))
     for kv in args.set:
         key, _, val = kv.partition("=")
-        overrides[key] = (
-            json.loads(val) if val and val[0] in "[{tf0123456789-" else val
-        )
+        overrides[key] = _parse_set_value(val)
 
     import jax
 

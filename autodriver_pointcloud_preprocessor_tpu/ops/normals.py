@@ -51,7 +51,7 @@ def estimate_normals(
     max_nn: int = 30,
     method: str = "auto",
     window_backend: str = "auto",
-    window_blocks: int = 2,
+    window_blocks: int | tuple = 2,
     passes: int = 2,
 ) -> ScanBuffer:
     """Attach float32[3, capacity] unit normals as attribute ``normals``.

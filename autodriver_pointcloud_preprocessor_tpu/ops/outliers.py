@@ -31,7 +31,7 @@ def remove_statistical_outliers(
     std_ratio: jax.Array | float = 2.0,
     method: str = "auto",
     window_backend: str = "auto",
-    window_blocks: int = 2,
+    window_blocks: int | tuple = 2,
     passes: int = 2,
     kmode: str = "sweep",
 ) -> ScanBuffer:

@@ -589,6 +589,17 @@ def window_stats_pallas(
         raise ValueError(
             f"kmode must be 'sweep', 'bisect' or 'csel', got {kmode!r}"
         )
+    if window_blocks > 7:
+        # the sweep/csel paths pack the candidate row index into the low
+        # 11 mantissa bits of d2 ((d2i & ~2047) | rows); sub_window =
+        # (2*wb + 1) * 128 must stay <= 2048 or row indices alias and
+        # distances silently corrupt. wb=7 -> 1920 rows is the last safe
+        # value (presets use <= 2).
+        raise ValueError(
+            f"window_blocks={window_blocks} exceeds 7: the 11-bit "
+            "mantissa row packing supports sub-windows up to 2048 rows "
+            "((2*wb+1)*128 <= 2048)"
+        )
     if d2mode not in ("highest", "fast3"):
         raise ValueError(f"d2mode must be 'highest' or 'fast3', got {d2mode!r}")
     fn = _make_window_stats(

@@ -32,7 +32,7 @@ def remove_radius_outliers(
     method: str = "auto",
     exact_k: int = 64,
     window_backend: str = "auto",
-    window_blocks: int = 2,
+    window_blocks: int | tuple = 2,
     passes: int = 2,
 ) -> ScanBuffer:
     """Mask out points with fewer than ``nb_points`` in-radius neighbors.

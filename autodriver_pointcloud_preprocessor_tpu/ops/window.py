@@ -304,6 +304,13 @@ def default_backend() -> str:
 
     forced = os.environ.get("APC_WINDOW_BACKEND")
     if forced:
+        valid = ("pallas", "pallas_interpret", "xla")
+        if forced not in valid:
+            raise ValueError(
+                f"APC_WINDOW_BACKEND={forced!r} is not a window backend; "
+                f"expected one of {valid}. (Unset the variable to let the "
+                "platform pick: 'pallas' on TPU, 'xla' elsewhere.)"
+            )
         return forced
     try:
         return "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -629,11 +636,11 @@ def fused_neighborhood_stats(
         return base
 
     # XLA fallback: compose the two window ops (no sharing, same results).
-    # Per-pass window tuples collapse to their max (a superset window —
-    # the fallback has no per-pass plumbing and quality only improves).
+    # Per-pass window tuples thread straight through (the window ops index
+    # the tuple per pass since round 5).
     wb_flat = (
         window_blocks if isinstance(window_blocks, int)
-        else max(window_blocks)
+        else tuple(window_blocks)
     )
     mean = window_mean_knn_dist(
         positions, mask, k=k, window_blocks=wb_flat, passes=passes,
@@ -728,7 +735,7 @@ def fused_neighborhood_stats_reordered(
             positions, mask, radius2,
             window_blocks=(
                 window_blocks if isinstance(window_blocks, int)
-                else max(window_blocks)
+                else tuple(window_blocks)
             ),
             passes=passes, backend="xla", bounds=bounds,
         )
@@ -773,6 +780,24 @@ def fused_neighborhood_stats_reordered(
     return base + (jnp.where(sv, cnt2, 0.0),)
 
 
+def _wb_per_pass(window_blocks, passes: int) -> tuple:
+    """Normalize ``window_blocks`` (int | per-pass tuple) to a len-``passes``
+    tuple. The standalone window ops accept the same per-pass tuples as the
+    fused path (VERDICT r4: collapsing tuples to ``max`` was a silent config
+    rewrite on the unfused/sharded stages)."""
+    wbs = (
+        (window_blocks,) * passes
+        if isinstance(window_blocks, int)
+        else tuple(window_blocks)
+    )
+    if len(wbs) != passes:
+        raise ValueError(
+            f"per-pass window_blocks tuple length {len(wbs)} != passes "
+            f"{passes}"
+        )
+    return wbs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -801,6 +826,7 @@ def window_mean_knn_dist(
     """
     n = positions.shape[-1]
     block_size = min(block_size, n)
+    wbs = _wb_per_pass(window_blocks, passes)
     if backend == "auto":
         backend = default_backend()
     if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
@@ -808,7 +834,7 @@ def window_mean_knn_dist(
 
         def pallas_one(pass_idx):
             mean, _entries, _cnt = _pallas_pass(
-                positions, mask, pass_idx, k, 0.0, window_blocks, interp,
+                positions, mask, pass_idx, k, 0.0, wbs[pass_idx], interp,
                 kmode=kmode, bounds=bounds,
             )
             return mean
@@ -820,7 +846,7 @@ def window_mean_knn_dist(
 
     def one_pass(pass_idx):
         order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
-            positions, mask, block_size, window_blocks, pass_idx, bounds
+            positions, mask, block_size, wbs[pass_idx], pass_idx, bounds
         )
         nb = sx.shape[0]
         cb = _chunk_size(nb, chunk_blocks)
@@ -885,6 +911,7 @@ def window_normal_stats(
     """
     n = positions.shape[-1]
     block_size = min(block_size, n)
+    wbs = _wb_per_pass(window_blocks, passes)
     if backend == "auto":
         backend = default_backend()
     if backend in ("pallas", "pallas_interpret") and n % 128 == 0:
@@ -892,7 +919,7 @@ def window_normal_stats(
         entries, counts = None, None
         for p_i in range(passes):
             _mean, e2, c2 = _pallas_pass(
-                positions, mask, p_i, 1, radius, window_blocks, interp,
+                positions, mask, p_i, 1, radius, wbs[p_i], interp,
                 bounds=bounds,
             )
             if entries is None:
@@ -906,7 +933,7 @@ def window_normal_stats(
 
     def one_pass(pass_idx):
         order, (sx, sy, sz, sv), (wx, wy, wz, wv) = _sorted_window_arrays(
-            positions, mask, block_size, window_blocks, pass_idx, bounds
+            positions, mask, block_size, wbs[pass_idx], pass_idx, bounds
         )
         nb = sx.shape[0]
         cb = _chunk_size(nb, chunk_blocks)

@@ -781,9 +781,14 @@ class PointcloudPreprocessorNode:
             self.logger.info(
                 "Success = %s for param %s to value %s", result.successful, param.name, value
             )
-        if engine_delta:
-            # one atomic engine update; validation failures (e.g. a
-            # window_blocks tuple whose length mismatches
+        if engine_delta and result.successful:
+            # one atomic engine update, gated on the whole batch being
+            # valid: if any param in the batch already failed (e.g. a bad
+            # roi length), the parameter store rolls back every value, so
+            # the engine must stay untouched too or config and declared
+            # params diverge (all-or-nothing contract of
+            # set_parameters_atomically). Engine-side validation failures
+            # (e.g. a window_blocks tuple whose length mismatches
             # neighborhood_passes) are rolled back by the engine
             # (Preprocessor.update_config) and reported, leaving the
             # previous configuration live

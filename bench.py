@@ -100,10 +100,29 @@ def main() -> None:
     runner = pipeline_runner(settings)
     fn = build_pipeline(settings)
 
+    # --- compile split (VERDICT r4 item 3): the first call is COLD iff the
+    # persistent cache has no entries yet (the driver's bench runs start
+    # from an empty /tmp); otherwise it is a warm (cache-served) compile.
+    # When this process pays the cold compile, the warm figure is measured
+    # in the same run by dropping the in-memory executable cache and
+    # re-tracing — XLA then serves the persistent cache.
+    import glob as _glob
+
+    cache_was_warm = bool(_glob.glob("/tmp/jax_comp_cache/*"))
     t0 = time.perf_counter()
     out, plane = fn(buf, params, key)
     survivors = int(valid_count(out))
     compile_s = time.perf_counter() - t0
+    if cache_was_warm:
+        compile_cold_s, compile_warm_s = None, compile_s
+    else:
+        compile_cold_s = compile_s
+        jax.clear_caches()
+        runner = pipeline_runner(settings)
+        fn = build_pipeline(settings)
+        t0 = time.perf_counter()
+        out, plane = fn(buf, params, key)
+        compile_warm_s = time.perf_counter() - t0
     plane = np.asarray(plane)
     assert survivors > 0, "pipeline produced an empty cloud"
     assert np.isfinite(plane).all() and abs(plane[2]) > 0.9, plane
@@ -189,17 +208,54 @@ def main() -> None:
     tput_ms = max((tput[k_hi] - tput[k_lo]) * 1e3 / ((k_hi - k_lo) * B), 1e-3)
     scans_per_sec = 1000.0 / tput_ms
 
+    # --- e2e QUALITY: survivor jaccard vs exact kNN (VERDICT r4 item 4) --
+    # The shipped profile's end-to-end quality rides in the bench JSON so
+    # round-over-round drift is visible in BENCH_r*.json (0.9898 -> 0.9880
+    # -> 0.9860 went unguarded through round 4). Same protocol as
+    # tools/quality_e2e_jaccard.py; set APC_BENCH_JACCARD=0 to skip (saves
+    # the exact program's one-off compile).
+    import dataclasses
+    import os
+
+    e2e_jaccard = None
+    if os.environ.get("APC_BENCH_JACCARD", "1") != "0":
+        exact_settings = dataclasses.replace(
+            settings,
+            knn_method="exact",
+            window_blocks=1,
+            knn_d2mode="highest",
+            knn_kmode="sweep",
+        )
+
+        def _survivor_set(s):
+            o, _pl = build_pipeline(s)(buf, params, key)
+            m = np.asarray(o.mask)
+            pos = np.asarray(o.positions)[:, m].T
+            return {tuple(r) for r in np.round(pos, 5).tolist()}
+
+        sw = _survivor_set(settings)
+        se = _survivor_set(exact_settings)
+        e2e_jaccard = round(len(sw & se) / max(len(sw | se), 1), 4)
+
     target_ms = 1.0  # BASELINE.json north star
     result = {
         "metric": "128k-pt full-pipeline scans/sec (one TPU core)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(target_ms / latency_ms, 3),
+        "p50_latency_ms": round(latency_ms, 3),
+        "compile_cold_s": (
+            None if compile_cold_s is None else round(compile_cold_s, 1)
+        ),
+        "compile_warm_s": round(compile_warm_s, 1),
+        "e2e_jaccard": e2e_jaccard,
     }
     print(
-        f"[bench] compile {compile_s:.1f}s, "
+        f"[bench] compile cold {compile_cold_s and round(compile_cold_s, 1)}s "
+        f"/ warm {compile_warm_s:.1f}s, "
         f"p50 device latency {latency_ms:.2f}ms/scan, "
         f"pipelined {tput_ms:.2f}ms/scan, survivors {survivors}, "
+        f"e2e jaccard {e2e_jaccard}, "
         f"plane {np.round(plane, 3).tolist()}",
         file=sys.stderr,
     )

@@ -123,3 +123,17 @@ def test_warmup_cli_preset(capsys):
     ])
     assert rc == 0
     assert "warmup bucket 2048:" in capsys.readouterr().out
+
+
+def test_parse_set_value_string_fallback():
+    """Values that start with a JSON-ish char but are legitimate strings
+    (ADVICE r4: --set knn_d2mode=fast3 crashed with JSONDecodeError)."""
+    from autodriver_pointcloud_preprocessor_tpu.cli import _parse_set_value
+
+    assert _parse_set_value("fast3") == "fast3"
+    assert _parse_set_value("farthest") == "farthest"
+    assert _parse_set_value("true") is True
+    assert _parse_set_value("-1.5") == -1.5
+    assert _parse_set_value("[1, 0]") == [1, 0]
+    assert _parse_set_value("") == ""
+    assert _parse_set_value("2scans") == "2scans"

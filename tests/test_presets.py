@@ -148,3 +148,19 @@ def test_quality_preset_resolves():
     assert s.normals_merge_passes is True
     # everything else inherits the production profile
     assert s.ground_before_voxel and s.post_downsample_capacity == 51_200
+
+
+def test_failed_batch_leaves_engine_untouched():
+    """All-or-nothing contract (ADVICE r4): a batch with one invalid param
+    must not apply the valid engine deltas either — the parameter store
+    rolls back every value, so the engine must stay on the previous config
+    or store and engine diverge."""
+    node = PointcloudPreprocessorNode("atomic_gate_node")
+    before = node.engine.settings
+    res = node.set_parameters_atomically(
+        [Parameter("knn_d2mode", "fast3"),
+         Parameter("roi_min", [1.0, 2.0])]  # bad length -> batch fails
+    )
+    assert not res.successful
+    assert node.engine.settings == before
+    assert node.engine.settings.knn_d2mode == "highest"
