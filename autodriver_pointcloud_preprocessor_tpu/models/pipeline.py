@@ -64,6 +64,20 @@ class PipelineSettings:
     #: a no-op. Must be a multiple of 512 for the Pallas kernels
     #: downstream.
     post_downsample_capacity: int = 0
+    #: PRE-voxel compaction bucket (0 = off): after the mask-only front
+    #: stages (non-finite/crop/raw ground), stream-compact the buffer into
+    #: this smaller capacity before the voxel sort
+    #: (ops.compact.stream_compact_to — the segmean-kernel compaction,
+    #: round 5). The voxel sort's cost is CAPACITY-bound, not live-bound;
+    #: with raw ground removal ahead of it the live count is typically
+    #: ~40% of capacity, so sorting at half capacity saves ~0.17 ms at
+    #: 131k for the compactor's ~0.14 ms — and every downstream stage
+    #: (segmean, quantize, hilbert) shrinks with it. Capped-output
+    #: semantics: live points beyond the bucket are DROPPED — size it
+    #: above the worst-case post-ground live count (the bench asserts
+    #: survivors fit). Must be a 512-multiple; ignored when >= the
+    #: buffer capacity or when voxel downsampling is off.
+    pre_voxel_compact_capacity: int = 0
     remove_statistical_outliers: bool = False
     nb_neighbors: int = 20
     remove_radius_outliers: bool = False
@@ -166,12 +180,13 @@ class PipelineSettings:
     normals_merge_passes: bool = True
 
     def __post_init__(self):
-        cap = self.post_downsample_capacity
-        if cap < 0 or (cap > 0 and cap % 512 != 0):
-            raise ValueError(
-                "post_downsample_capacity must be a non-negative multiple "
-                f"of 512, got {cap}"
-            )
+        for fname in ("post_downsample_capacity", "pre_voxel_compact_capacity"):
+            cap = getattr(self, fname)
+            if cap < 0 or (cap > 0 and cap % 512 != 0):
+                raise ValueError(
+                    f"{fname} must be a non-negative multiple of 512, "
+                    f"got {cap}"
+                )
         if self.knn_kmode not in ("sweep", "bisect", "csel"):
             raise ValueError(
                 "knn_kmode must be 'sweep', 'bisect' or 'csel', "
@@ -265,6 +280,7 @@ STAGE_TIMING_KEYS = {
     "non_finite": "remove_nan_points",
     "transform": "transform",
     "crop": "crop",
+    "pre_compact": "pre_voxel_compaction",
     "voxel": "voxel_downsampling",
     # own key (not a reference stage): sharing voxel_downsampling would
     # OVERWRITE the voxel stage's time in profile mode (record assigns)
@@ -423,6 +439,20 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
         and settings.downsample_method == "voxel"
         and not ground_first
     )
+
+    if (
+        settings.pre_voxel_compact_capacity > 0
+        and settings.voxel_downsample
+    ):
+        pcap = settings.pre_voxel_compact_capacity
+        cb = "auto" if settings.pallas_ok else "xla"
+
+        def pre_compact(b, p, k):
+            if pcap >= b.capacity:  # nothing to shrink (static check)
+                return b, None
+            return ops.stream_compact_to(b, pcap, backend=cb), None
+
+        stages.append(("pre_compact", pre_compact))
 
     if settings.voxel_downsample:
         method = settings.downsample_method
@@ -744,6 +774,9 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         # the effective capacity on reconfigure)
         post_downsample_capacity=(
             -(-int(cfg.get("downsample.max_points", 0)) // 512) * 512
+        ),
+        pre_voxel_compact_capacity=(
+            -(-int(cfg.get("downsample.pre_voxel_capacity", 0)) // 512) * 512
         ),
         remove_statistical_outliers=bool(
             cfg.get("remove_statistical_outliers", False)

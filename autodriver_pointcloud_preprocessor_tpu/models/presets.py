@@ -50,6 +50,14 @@ PRODUCTION_128K_CONFIG: dict = {
     "remove_ground.distance_threshold": 0.12,
     "remove_ground.before_voxel": True,
     "downsample.max_points": 51_200,
+    # round 5: stream-compact the post-ground cloud (live ~51k of 131k)
+    # into a 65536 bucket before the voxel sort — the sort and segmean are
+    # capacity-bound, so they run at half cost for the compactor's ~0.14
+    # ms (ops.compact.stream_compact_to). Sized with ~28% headroom over
+    # the worst-case post-ground live count; overflow drops points
+    # (capped-output semantics), which bench.py's survivor assertion
+    # would catch.
+    "downsample.pre_voxel_capacity": 65_536,
     "knn_method": "window",
     "knn_d2mode": "fast3",
     "knn_kmode": "csel",

@@ -9,6 +9,7 @@ from .compact import (
     compact_to,
     compaction_order,
     shrink_front,
+    stream_compact_to,
     subsample_to,
 )
 from .crop import crop_box

@@ -11,12 +11,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.scan import ScanBuffer, valid_count
 
 __all__ = [
     "compact", "compact_to", "compaction_order", "shrink_front",
-    "subsample_to",
+    "stream_compact_to", "subsample_to",
 ]
 
 
@@ -72,6 +73,120 @@ def shrink_front(buf: ScanBuffer, capacity: int) -> ScanBuffer:
         positions=buf.positions[:, :capacity],
         mask=buf.mask[:capacity],
         attributes={k: v[..., :capacity] for k, v in buf.attributes.items()},
+    )
+
+
+def stream_compact_to(
+    buf: ScanBuffer, capacity: int, backend: str = "auto"
+) -> ScanBuffer:
+    """Compact live points to the front of a smaller capacity bucket —
+    gather-free AND sort-free, via the pipelined segmented-sums kernel.
+
+    Insight (round 5): ``segmented_sums_pallas(values, run_start)`` with
+    ``run_start[j] = mask[j-1]`` (the mask shifted right by one) makes
+    ``cumsum(run_start)[j] == rank(j)`` — the number of live rows before
+    ``j`` — so each live row's values land at output column ``rank(j)``,
+    and the dead rows grouped into the same run contribute exactly zero
+    (their values are zeroed up front). That IS stable stream compaction,
+    at the segmean kernel's cost (~0.14 ms at 131k for 8 channels vs ~1 ms
+    for the argsort+gather ``compact_to`` and ~0.3 ms for a sort) — the
+    primitive this backend otherwise lacks (PERF_NOTES.md: "sorts are the
+    ONLY viable bulk data-movement primitive").
+
+    Exactness: every output value is the f32 sum of ONE untouched input
+    value and zeros — bit-exact passthrough for floats and for narrow
+    ints riding f32; wide (> 16-bit host) integer attributes ride as an
+    exact hi/lo 16-bit pair of f32 rows.
+
+    Live rows with rank >= ``capacity`` are DROPPED (capped-output
+    semantics like ``shrink_front``); callers size the bucket above the
+    worst-case live count. Dead output rows hold zeros, not NaNs.
+
+    Backend 'xla' falls back to ``compact_to`` (identical survivor set
+    and order; per-row gathers — fine on CPU, pathological on the TPU
+    backend).
+    """
+    if capacity > buf.capacity:
+        raise ValueError(
+            f"stream_compact_to grows capacity {buf.capacity} -> {capacity}"
+        )
+    n = buf.capacity
+    if backend == "auto":
+        from .window import default_backend
+
+        resolved = default_backend()
+        backend = resolved if (
+            resolved in ("pallas", "pallas_interpret")
+            and n % 512 == 0
+            and capacity % 512 == 0
+        ) else "xla"
+    if backend == "xla" or n % 512 != 0:
+        return compact_to(buf, capacity)
+    interpret = backend == "pallas_interpret"
+
+    from ..core.scan import ATTR_HOST_DTYPES
+    from .pallas_segmean import segmented_sums_pallas
+
+    mask = buf.mask
+    # run starts at each row FOLLOWING a live row: cumsum(starts)[j] ==
+    # rank(j). Row 0 opens run 0 naturally (the kernel forces flag 0 there).
+    starts = jnp.zeros(n, dtype=bool).at[1:].set(mask[:-1])
+
+    # NaN discipline: dead rows keep NaN coordinates in the mask-only
+    # pipeline; they must be ZEROED (not multiplied) before the summed
+    # passthrough or NaN * 0 poisons their run's live row.
+    def live_row(r):
+        return jnp.where(mask, r.astype(jnp.float32), 0.0)
+
+    rows = [live_row(buf.positions[c]) for c in range(3)]
+    specs = []  # (name, shape, start, n_rows, kind)
+    for name, v in sorted(buf.attributes.items()):
+        r2 = v.reshape(-1, n)
+        host_wide = (
+            jnp.issubdtype(v.dtype, jnp.integer)
+            and np.dtype(ATTR_HOST_DTYPES.get(name, np.int64)).itemsize > 2
+        )
+        kind = "wide" if host_wide else "f32"
+        specs.append((name, v.shape, len(rows), r2.shape[0], kind))
+        for c in range(r2.shape[0]):
+            if host_wide:
+                # exact 16/16 split: both halves are f32-exact
+                hi = jnp.right_shift(r2[c], 16)
+                lo = jnp.bitwise_and(r2[c], 0xFFFF)
+                rows.append(live_row(hi))
+                rows.append(live_row(lo))
+            else:
+                rows.append(live_row(r2[c]))
+
+    out_rows = []
+    for start in range(0, len(rows), 8):
+        group = jnp.stack(rows[start : start + 8])
+        sums = segmented_sums_pallas(group, starts, interpret=interpret)
+        out_rows.extend(sums[c, :capacity] for c in range(group.shape[0]))
+
+    count = jnp.sum(mask.astype(jnp.int32))
+    new_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    attrs = {}
+    for name, shape, start, n_rows, kind in specs:
+        orig = buf.attributes[name]
+        if kind == "wide":
+            vals = [
+                (
+                    out_rows[start + 2 * c].astype(jnp.int32) * 65536
+                    + out_rows[start + 2 * c + 1].astype(jnp.int32)
+                )
+                for c in range(n_rows)
+            ]
+        else:
+            vals = [out_rows[start + c].astype(orig.dtype) for c in range(n_rows)]
+        attrs[name] = (
+            vals[0] if orig.ndim == 1
+            else jnp.stack(vals).reshape(shape[:-1] + (capacity,))
+        ).astype(orig.dtype)
+    return ScanBuffer(
+        positions=jnp.stack(out_rows[:3]),
+        mask=new_mask,
+        attributes=attrs,
     )
 
 

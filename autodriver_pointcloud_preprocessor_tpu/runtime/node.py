@@ -102,6 +102,7 @@ PARAMETER_DEFAULTS = [
     ("downsample.every_k_points", 5),
     ("downsample.num_samples", 4096),
     ("downsample.max_points", 0),
+    ("downsample.pre_voxel_capacity", 0),
     ("remove_ground.method", "ransac"),
     ("remove_ground.before_neighborhood", False),
     ("remove_ground.before_voxel", False),
@@ -156,7 +157,7 @@ _ENGINE_KEYS = {
     "remove_radius_outliers.search_radius",
     "downsample_method", "downsample.sampling_ratio",
     "downsample.every_k_points", "downsample.num_samples",
-    "downsample.max_points",
+    "downsample.max_points", "downsample.pre_voxel_capacity",
     "remove_ground.method", "remove_ground.before_neighborhood",
     "remove_ground.before_voxel",
     "estimate_normals", "estimate_normals.search_radius",
@@ -704,7 +705,8 @@ class PointcloudPreprocessorNode:
                 if name in ("remove_nans", "remove_infs"):
                     setattr(self, name, value)
                 engine_delta[name] = value
-            elif name == "downsample.max_points":
+            elif name in ("downsample.max_points",
+                          "downsample.pre_voxel_capacity"):
                 # the Pallas kernels need a 512-multiple capacity; that is
                 # an internal constraint, not part of the reference-shaped
                 # parameter surface — accept ANY non-negative value and
@@ -715,13 +717,13 @@ class PointcloudPreprocessorNode:
                     eff = -(-int(value) // 512) * 512
                     if eff != int(value):
                         self.logger.info(
-                            "downsample.max_points=%d rounded up to the "
-                            "effective capacity %d (512-aligned buckets)",
-                            int(value), eff,
+                            "%s=%d rounded up to the effective capacity "
+                            "%d (512-aligned buckets)",
+                            name, int(value), eff,
                         )
                 else:
                     result.successful = False
-                    result.reason = "downsample.max_points must be >= 0"
+                    result.reason = f"{name} must be >= 0"
             elif name in ("roi_min", "roi_max"):
                 if len(value) == 3:
                     engine_delta[name] = list(value)

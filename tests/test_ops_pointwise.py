@@ -177,3 +177,53 @@ def test_smallest_eigenvector_degenerate():
     mats = jnp.stack([jnp.zeros((3, 3)), 2.5 * jnp.eye(3)])
     vecs, _ = smallest_eigenvector_sym3x3(mats)
     np.testing.assert_allclose(np.asarray(vecs), [[0, 0, 1], [0, 0, 1]])
+
+
+def test_stream_compact_matches_compact_to(rng):
+    """stream_compact_to (segmean-kernel compaction, round 5) must equal
+    compact_to bit-for-bit: same survivors, same stable order, exact f32
+    passthrough, narrow ints intact, wide ints via the 16/16 split."""
+    from autodriver_pointcloud_preprocessor_tpu.ops.compact import (
+        stream_compact_to,
+    )
+
+    n, cap = 2048, 1024
+    pts = rng.normal(0, 5, (n, 3)).astype(np.float32)
+    pts[::17] = np.nan  # NaN rows must not poison neighbouring live rows
+    buf, _ = from_soa(
+        {
+            "positions": pts,
+            "intensity": rng.uniform(0, 255, n).astype(np.float32),
+            "ring": rng.integers(0, 32, n).astype(np.uint16),
+        },
+        capacity=n,
+    )
+    # wide-int attribute exercising the hi/lo split (values beyond 2^24)
+    wide = jnp.asarray(
+        rng.integers(0, 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+    )
+    buf = buf.replace(attributes={**buf.attributes, "stamp32": wide})
+    kill = np.asarray(rng.uniform(size=n) < 0.6)
+    kill[np.isnan(pts).any(axis=1)] = True
+    buf = buf.with_mask(buf.mask & jnp.asarray(~kill))
+    assert int(valid_count(buf)) < cap
+
+    ref = compact_to(buf, cap)
+    out = stream_compact_to(buf, cap, backend="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+    m = np.asarray(ref.mask)
+    np.testing.assert_array_equal(
+        np.asarray(out.positions)[:, m], np.asarray(ref.positions)[:, m]
+    )
+    for k in ("intensity", "ring", "stamp32"):
+        np.testing.assert_array_equal(
+            np.asarray(out.attributes[k])[..., m],
+            np.asarray(ref.attributes[k])[..., m],
+        )
+
+    # overflow: capped-output semantics — first `cap` survivors kept
+    tiny = stream_compact_to(buf, 512, backend="pallas_interpret")
+    np.testing.assert_array_equal(
+        np.asarray(tiny.positions)[:, np.asarray(tiny.mask)],
+        np.asarray(ref.positions)[:, m][:, :512],
+    )

@@ -478,3 +478,57 @@ def test_ground_before_voxel_stage_order():
     )
     assert names.count("ground") == 1
     assert "shrink" not in names  # folded into the presorted prefix slice
+
+
+def test_pre_voxel_compaction_is_bit_exact(rng, monkeypatch):
+    """The round-5 pre-voxel stream compaction must be invisible to the
+    result: bit-identical survivor positions/attributes vs the same
+    pipeline without it (the compactor is an exact passthrough and
+    preserves live-row order, so the voxel sort sees the same sequence)."""
+    monkeypatch.setenv("APC_WINDOW_BACKEND", "pallas_interpret")
+    n, cap = 6000, 8192
+    ground = np.column_stack(
+        [rng.uniform(-8, 8, (2, 4000)).T, rng.normal(0, 0.02, 4000)]
+    )
+    obj = rng.normal([0, 0, 2.0], 0.7, (2000, 3))
+    pts = np.vstack([ground, obj]).astype(np.float32)
+    pts[::53] = np.nan
+    buf, _ = from_soa(
+        {
+            "positions": pts,
+            "intensity": rng.uniform(0, 255, n).astype(np.float32),
+            "ring": rng.integers(0, 16, n).astype(np.uint16),
+        },
+        capacity=cap,
+    )
+    base = dict(
+        remove_ground=True,
+        ground_before_voxel=True,
+        num_iterations=64,
+        ransac_n=3,
+        remove_statistical_outliers=True,
+        nb_neighbors=8,
+        estimate_normals=True,
+        knn_method="window",
+        voxel_compact_keys="box",
+        post_downsample_capacity=2048,
+    )
+    params = PipelineParams.make(voxel_size=0.15, distance_threshold=0.08)
+    key = jax.random.PRNGKey(0)
+    out_ref, plane_ref = build_pipeline(PipelineSettings(**base))(
+        buf, params, key
+    )
+    out_c, plane_c = build_pipeline(
+        PipelineSettings(pre_voxel_compact_capacity=4096, **base)
+    )(buf, params, key)
+    np.testing.assert_array_equal(np.asarray(plane_ref), np.asarray(plane_c))
+    m_r, m_c = np.asarray(out_ref.mask), np.asarray(out_c.mask)
+    assert m_r.sum() == m_c.sum() > 100
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.positions)[:, m_r], np.asarray(out_c.positions)[:, m_c]
+    )
+    for k in ("intensity", "ring"):
+        np.testing.assert_array_equal(
+            np.asarray(out_ref.attributes[k])[..., m_r],
+            np.asarray(out_c.attributes[k])[..., m_c],
+        )

@@ -35,6 +35,7 @@ def test_production_config_reproduces_bench_settings():
         ground_before_voxel=True,
         voxel_compact_keys="box",  # auto-derived: 80.4 m / 0.08 m = 1005 cells
         post_downsample_capacity=51_200,
+        pre_voxel_compact_capacity=65_536,  # round 5: compact before the sort
         knn_d2mode="fast3",
         knn_kmode="csel",
         window_blocks=(1, 0),
