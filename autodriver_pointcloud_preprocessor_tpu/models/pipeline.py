@@ -134,6 +134,15 @@ class PipelineSettings:
     #: derives the tier from the ROI/voxel-size parameters
     #: (_compact_keys_tier); default off for safety.
     voxel_compact_keys: bool | str = False
+    #: False (round 5): drop the voxel sort's stability under fused exact
+    #: dedup — saves the implicit-iota tiebreak key (~0.05 ms at 131k,
+    #: PERF_NOTES "stable-sort tax"). Semantics: among EXACT coordinate
+    #: duplicates, an arbitrary copy donates the representative
+    #: attributes (ring/intensity) instead of the first occurrence
+    #: (reference np.unique keeps the first, utils.py:532-534); positions
+    #: / survivor sets are unaffected. Ignored unless dedup fuses into
+    #: the voxel sort.
+    voxel_first_attrs: bool = True
     ransac_n: int = 5
     num_iterations: int = 100
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
@@ -468,6 +477,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                         compact_keys=(
                             settings.voxel_compact_keys if presorted else False
                         ),
+                        first_attrs=settings.voxel_first_attrs,
                     ),
                     None,
                 ))
@@ -581,6 +591,10 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                 d2mode=settings.knn_d2mode,
                 presorted=presorted,
                 entries_merge=settings.normals_merge_passes,
+                # the stage thresholds on the kNN mean alone — the count
+                # output is unused, so its re-sort payload row is dropped
+                # (zeros come back) in the merge-free normals mode
+                carry_count=False,
             )
             pos, valid, attrs, mean_d, normals, _count = out[:6]
             # global outlier threshold (reference :514-519 semantics)
@@ -801,6 +815,7 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         # re-derives this and recompiles only when the answer flips). A
         # 'voxel_compact_keys' key can force it off.
         voxel_compact_keys=_compact_keys_tier(cfg),
+        voxel_first_attrs=bool(cfg.get("voxel_first_attrs", True)),
         ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
         knn_method=str(cfg.get("knn_method", "auto")),

@@ -46,7 +46,12 @@ PRODUCTION_128K_CONFIG: dict = {
     "estimate_normals.search_radius": 0.1,
     "remove_ground": True,
     "remove_ground.ransac_number": 3,
-    "remove_ground.num_iterations": 100,
+    # 64 hypotheses (round 5; reference default 100): with >= 40% ground
+    # inliers, P(no all-inlier triple in 64 draws) = (1 - 0.4^3)^64 =
+    # 1.4e-2 worst case, and at the bench scene's ~60% ground it is
+    # 1.7e-7; the winner refits on ALL inliers either way. Measured
+    # 0.143 -> 0.101 ms for the ground stage at 131k.
+    "remove_ground.num_iterations": 64,
     "remove_ground.distance_threshold": 0.12,
     "remove_ground.before_voxel": True,
     "downsample.max_points": 51_200,
@@ -58,6 +63,10 @@ PRODUCTION_128K_CONFIG: dict = {
     # (capped-output semantics), which bench.py's survivor assertion
     # would catch.
     "downsample.pre_voxel_capacity": 65_536,
+    # round 5: unstable voxel sort — among exact coordinate duplicates an
+    # arbitrary copy donates ring/intensity (reference keeps the first);
+    # positions/survivors unaffected. Saves the stable-sort tax.
+    "voxel_first_attrs": False,
     "knn_method": "window",
     "knn_d2mode": "fast3",
     "knn_kmode": "csel",
@@ -80,4 +89,6 @@ PRODUCTION_128K_QUALITY_CONFIG: dict = {
     **PRODUCTION_128K_CONFIG,
     "window_blocks": (2, 0),
     "normals_merge_passes": True,
+    # reference-exact duplicate semantics (first occurrence donates attrs)
+    "voxel_first_attrs": True,
 }

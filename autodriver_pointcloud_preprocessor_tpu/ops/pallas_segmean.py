@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["segmented_sums_pallas"]
+__all__ = ["masked_compact_pallas", "segmented_sums_pallas"]
 
 _BLK = 512
 
@@ -80,9 +80,18 @@ def _dot3_exact(a, b01, dims):
 _W = _BLK + 128  # per-sub-block partials window: off (< 128) + up to BLK runs
 
 
-def _make_kernel(c: int, sub: int):
+def _make_kernel(c: int, sub: int, compact: bool = False):
     """Kernel body for ``c`` channels and ``sub`` 512-column sub-blocks
-    per grid step (step width = sub * 512)."""
+    per grid step (step width = sub * 512).
+
+    ``compact=True`` (round 5, stream compaction): ``flags`` is the LIVE
+    MASK instead of run starts. Each live row's values land at column
+    rank(row) = the EXCLUSIVE cumsum of the mask, and dead rows are
+    dropped by folding the mask into the one-hot (their row of the
+    matmul is zero) — so callers skip both the host-side flag shift and
+    the per-channel ``where`` zeroing (~0.1 ms of XLA elementwise at
+    131k x 8 channels; NaN coordinates on dead rows never reach the
+    sum)."""
     blk_w = sub * _BLK
     stage_w = blk_w + 128  # staged output window per step
 
@@ -166,11 +175,21 @@ def _make_kernel(c: int, sub: int):
             base_s = pl.multiple_of((gid // 128) * 128, 128)
             off = gid - base_s  # in [0, 128)
 
-            # one_hot[j, t] = (cs[j] + off == t): the 128-alignment shift
+            if compact:
+                # live row at rank r -> column r: EXCLUSIVE cumsum. A dead
+                # row shares the next live row's target column but its
+                # values are zeroed here in VMEM (dead rows carry NaN
+                # coordinates in the mask-only pipeline; NaN would poison
+                # the matmul through its zero one-hot row otherwise).
+                vals = jnp.where(flags > 0.0, vals, 0.0)
+                cs_t = cs - flags
+            else:
+                cs_t = cs
+            # one_hot[j, t] = (cs_t[j] + off == t): the 128-alignment shift
             # folds into the comparison, so the main matmul emits partials
             # already at window-local columns — no separate shift matmul.
             one_hot = (
-                cs.reshape(_BLK, 1).astype(jnp.int32) + off == slot_i
+                cs_t.reshape(_BLK, 1).astype(jnp.int32) + off == slot_i
             ).astype(jnp.float32)
 
             # partials[ch, t] = sum_j vals[ch, j] * one_hot[j, t]. Values
@@ -251,7 +270,7 @@ def _make_kernel(c: int, sub: int):
     return _kernel, stage_w
 
 
-def _call_batched(values, run_start, interpret):
+def _call_batched(values, run_start, interpret, compact=False):
     """(batch, C, N), (batch, N) -> (batch, C, N) per-run sums."""
     batch, c, n = values.shape
     assert c <= 8 and n % _BLK == 0, (c, n)
@@ -267,10 +286,12 @@ def _call_batched(values, run_start, interpret):
         vals = jnp.pad(vals, ((0, 0), (0, 8 - c), (0, 0)))
         c = 8
     flags = run_start.astype(jnp.float32).reshape(batch, 1, n)
-    # element 0 always opens run 0; its flag must be 0 so cs starts at 0
-    flags = flags.at[:, 0, 0].set(0.0)
+    if not compact:
+        # element 0 always opens run 0; its flag must be 0 so cs starts
+        # at 0 (compact mode uses the exclusive cumsum — no forcing)
+        flags = flags.at[:, 0, 0].set(0.0)
 
-    kernel, stage_w = _make_kernel(c, sub)
+    kernel, stage_w = _make_kernel(c, sub, compact)
     blk_w = sub * _BLK
     nb = n // blk_w
     n_out = n + stage_w + 128
@@ -316,6 +337,14 @@ def _call_batched(values, run_start, interpret):
         return jax.lax.dynamic_update_slice(s, p, (0, bse))
 
     sums = jax.vmap(overlay)(sums, final_pend, final_base)
+    if compact:
+        # compact mode's "open run" past the last live row accumulates
+        # only zeros (dead rows) — skip the one-hot carry fold AND the
+        # full-width tail zeroing (two (C, N) elementwise passes, ~0.04
+        # ms at 131k x 8). Columns beyond the last committed tile hold
+        # UNCOMMITTED garbage; the public wrapper (stream_compact_to)
+        # re-zeroes by rank over its (smaller) output capacity.
+        return sums[:, :c_out, :n]
     # fold each batch element's final open run in at its slot (one-hot add
     # keeps this vmap-free and shape-static)
     cols = jnp.arange(n_out, dtype=jnp.int32)
@@ -327,15 +356,17 @@ def _call_batched(values, run_start, interpret):
     return jnp.where(live, sums, 0.0)
 
 
-@functools.lru_cache(maxsize=4)
-def _make_segmented_sums(interpret: bool):
+@functools.lru_cache(maxsize=8)
+def _make_segmented_sums(interpret: bool, compact: bool = False):
     """custom_vmap wrapper: vmapping maps onto a batch grid dimension (the
     sequential run-state carry resets at each batch element's first block),
     instead of Mosaic's unsupported pallas batching."""
 
     @jax.custom_batching.custom_vmap
     def fn(values, run_start):
-        return _call_batched(values[None], run_start[None], interpret)[0]
+        return _call_batched(
+            values[None], run_start[None], interpret, compact
+        )[0]
 
     @fn.def_vmap
     def _vmap_rule(axis_size, in_batched, values, run_start):
@@ -345,7 +376,7 @@ def _make_segmented_sums(interpret: bool):
             return x if is_b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
         out = _call_batched(
-            bcast(values, bv), bcast(run_start, bf), interpret
+            bcast(values, bv), bcast(run_start, bf), interpret, compact
         )
         return out, True
 
@@ -372,3 +403,29 @@ def segmented_sums_pallas(
         beyond the last run are zero.
     """
     return _make_segmented_sums(interpret)(values, run_start)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_compact_pallas(
+    values: jax.Array,
+    mask: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Stream-compact channel rows by a live mask (round 5).
+
+    ``out[:, r]`` = the values of the r-th live row (stable order). Columns
+    beyond the last 128-aligned committed tile hold UNSPECIFIED values
+    (never-written HBM) — mask-disciplined consumers ignore them;
+    ``ops.compact.stream_compact_to`` re-zeroes by rank for its public
+    ScanBuffer contract. The masking, rank computation (exclusive cumsum)
+    and dead-row zeroing happen IN the kernel — callers pass raw rows
+    (NaNs on dead rows included) and the mask, no host-side prep. Cost =
+    one segmean-kernel pass (~0.14 ms at 131k x 8 channels).
+
+    Args:
+        values: float32[C<=8, N] channel rows (N % 512 == 0), unmasked.
+        mask: bool[N] live flags.
+    Returns:
+        float32[C, N] compacted rows.
+    """
+    return _make_segmented_sums(interpret, compact=True)(values, mask)

@@ -36,6 +36,7 @@ def voxel_downsample(
     dedup_exact: bool = False,
     curve_order: bool = False,
     compact_keys: bool | str = False,
+    first_attrs: bool = True,
 ) -> ScanBuffer:
     """Average live points within each cubic voxel of edge ``voxel_size``.
 
@@ -157,6 +158,16 @@ def voxel_downsample(
     needs_stable = bool(first_slices) or bool(gather_attrs) or (
         dedup_exact and bool(float_rows)
     )
+    # ``first_attrs=False`` (round 5): under dedup_exact the bit-exact
+    # coordinate keys make the sort order TOTAL except among exact
+    # coordinate duplicates, so dropping stability (~1 implicit key of
+    # cost, 0.05 ms at 131k — PERF_NOTES "stable-sort tax") only changes
+    # WHICH duplicate copy donates the representative attributes
+    # (reference np.unique keeps the first occurrence; 'any copy' is the
+    # documented relaxation). Without dedup_exact, ties span whole voxel
+    # segments and stability stays load-bearing — the flag is ignored.
+    if dedup_exact and not first_attrs:
+        needs_stable = False
     if compact_keys and not curve_order:
         raise ValueError("compact_keys requires curve_order")
     if compact_keys is True:

@@ -396,10 +396,37 @@ def _pallas_pass(positions, mask, pass_idx, k, radius, window_blocks,
     return mean, jnp.stack(entry_rows), count
 
 
+def _oct_encode(nx, ny, nz):
+    """Unit vector -> octahedral (u, v) pair: 3 re-sort payload rows
+    become 2 (~0.013 ms/row at 51k). f32 roundtrip error ~1e-7 —
+    orders below the window-PCA approximation itself."""
+    s = jnp.abs(nx) + jnp.abs(ny) + jnp.abs(nz)
+    s = jnp.where(s > 0, s, 1.0)
+    u, v = nx / s, ny / s
+    down = nz < 0
+    su = jnp.where(u >= 0, 1.0, -1.0)
+    sv = jnp.where(v >= 0, 1.0, -1.0)
+    return (
+        jnp.where(down, (1.0 - jnp.abs(v)) * su, u),
+        jnp.where(down, (1.0 - jnp.abs(u)) * sv, v),
+    )
+
+
+def _oct_decode(u, v):
+    z = 1.0 - jnp.abs(u) - jnp.abs(v)
+    down = z < 0
+    su = jnp.where(u >= 0, 1.0, -1.0)
+    sv = jnp.where(v >= 0, 1.0, -1.0)
+    x = jnp.where(down, (1.0 - jnp.abs(v)) * su, u)
+    y = jnp.where(down, (1.0 - jnp.abs(u)) * sv, v)
+    nrm = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x / nrm, y / nrm, z / nrm
+
+
 def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
                   passes, interp, kmode, shrink_to=0, radius2=None,
                   d2mode="highest", presorted=False, bounds=None,
-                  entries_merge=True):
+                  entries_merge=True, carry_count=True):
     """Shared sort-chained multi-pass core of the fused neighborhood ops.
 
     Runs ``passes`` curve passes through the Pallas kernel, chaining each
@@ -521,25 +548,36 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             bounds=bounds,
         )
     mean, count, ent, cnt2 = one_pass(sx, sy, sz, sv, 0, wbs[0])
+    # entries_merge=False: the count row rides the re-sorts only to be
+    # returned; callers that ignore the count output (the fused pipeline
+    # stage thresholds on the kNN mean alone) pass carry_count=False and
+    # get zeros back, saving the payload row (~0.013 ms/re-sort at 51k).
+    drop_count = not entries_merge and not carry_count
     if not entries_merge:
-        # solve the eigens NOW (pass-0 order); 3 normal rows ride the
-        # re-sorts instead of 6 entry rows
+        # solve the eigens NOW (pass-0 order); the OCTAHEDRAL-PACKED
+        # normal (2 rows, f32 roundtrip ~1e-7) rides the re-sorts
+        # instead of 6 entry rows
         nrm0 = _normals_from_entries(
             ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
         )
-        stat3 = (nrm0[0], nrm0[1], nrm0[2])
+        stat_n = _oct_encode(nrm0[0], nrm0[1], nrm0[2])
     for p_i in range(1, passes):
-        ent_rows = ent if entries_merge else stat3
-        stat_rows = (mean, count, *ent_rows) + ((cnt2,) if use_r2 else ())
+        ent_rows = ent if entries_merge else stat_n
+        cnt_rows = () if drop_count else (count,)
+        stat_rows = (mean, *cnt_rows, *ent_rows) + (
+            (cnt2,) if use_r2 else ()
+        )
         sx, sy, sz, sv, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
             extra=(*carry, *stat_rows), with_idx=False, bounds=bounds,
         )
         ns = len(stat_rows)
         carry, stat_rows = rest[:-ns], rest[-ns:]
-        mean, count = stat_rows[0], stat_rows[1]
-        ne = 6 if entries_merge else 3
-        cnt2 = stat_rows[2 + ne] if use_r2 else None
+        mean = stat_rows[0]
+        nc = 0 if drop_count else 1
+        count = mean * 0.0 if drop_count else stat_rows[1]
+        ne = 6 if entries_merge else 2
+        cnt2 = stat_rows[1 + nc + ne] if use_r2 else None
         m2, c2, ent2, cnt2b = one_pass(
             sx, sy, sz, sv, p_i % 2, wbs[p_i], moments=entries_merge
         )
@@ -554,7 +592,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         else:
             # normals/count stay pass-0's (consistent pair); the kNN mean
             # and the radius count still merge across passes
-            stat3 = stat_rows[2:5]
+            stat_n = stat_rows[1 + nc : 3 + nc]
         if use_r2:
             cnt2 = jnp.maximum(cnt2, cnt2b)
     if entries_merge:
@@ -562,7 +600,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
         )
     else:
-        nrm = stat3
+        nrm = _oct_decode(stat_n[0], stat_n[1])
     return (sx, sy, sz, sv, tuple(carry), mean, count,
             nrm[0], nrm[1], nrm[2], cnt2)
 
@@ -571,7 +609,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
     jax.jit,
     static_argnames=(
         "k", "window_blocks", "passes", "backend", "kmode", "d2mode",
-        "entries_merge",
+        "entries_merge", "carry_count",
     ),
 )
 def fused_neighborhood_stats(
@@ -587,6 +625,7 @@ def fused_neighborhood_stats(
     d2mode: str = "highest",
     radius2=None,
     entries_merge: bool = True,
+    carry_count: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """One shared neighborhood sweep serving BOTH statistical-outlier and
     normal estimation: (mean_knn_dist[N], normals[3, N] unit, count[N]).
@@ -622,7 +661,7 @@ def fused_neighborhood_stats(
                 window_blocks=window_blocks, passes=passes,
                 interp=(backend == "pallas_interpret"), kmode=kmode,
                 bounds=bounds, d2mode=d2mode, radius2=radius2,
-                entries_merge=entries_merge,
+                entries_merge=entries_merge, carry_count=carry_count,
             )
         )
         rows = (mean, count, nx, ny, nz) + ((c2,) if use_r2 else ())
@@ -681,6 +720,7 @@ def fused_neighborhood_stats_reordered(
     presorted: bool = False,
     bounds=None,
     entries_merge: bool = True,
+    carry_count: bool = True,
 ):
     """`fused_neighborhood_stats` that REORDERS the buffer instead of
     unsorting the stats.
@@ -755,6 +795,7 @@ def fused_neighborhood_stats_reordered(
         interp=(backend == "pallas_interpret"), kmode=kmode,
         shrink_to=shrink_to, radius2=radius2, d2mode=d2mode,
         presorted=presorted, bounds=bounds, entries_merge=entries_merge,
+        carry_count=carry_count,
     )
 
     out_attrs = {}

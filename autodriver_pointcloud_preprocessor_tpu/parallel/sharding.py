@@ -502,6 +502,7 @@ def make_local_run(
                     dedup_exact=fuse_dedup,
                     curve_order=bool(ck),
                     compact_keys=ck,
+                    first_attrs=settings.voxel_first_attrs,
                 )
             elif settings.downsample_method == "random":
                 shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))

@@ -103,6 +103,7 @@ PARAMETER_DEFAULTS = [
     ("downsample.num_samples", 4096),
     ("downsample.max_points", 0),
     ("downsample.pre_voxel_capacity", 0),
+    ("voxel_first_attrs", True),
     ("remove_ground.method", "ransac"),
     ("remove_ground.before_neighborhood", False),
     ("remove_ground.before_voxel", False),
@@ -158,6 +159,7 @@ _ENGINE_KEYS = {
     "downsample_method", "downsample.sampling_ratio",
     "downsample.every_k_points", "downsample.num_samples",
     "downsample.max_points", "downsample.pre_voxel_capacity",
+    "voxel_first_attrs",
     "remove_ground.method", "remove_ground.before_neighborhood",
     "remove_ground.before_voxel",
     "estimate_normals", "estimate_normals.search_radius",
@@ -701,7 +703,8 @@ class PointcloudPreprocessorNode:
                           "remove_ground.probability",
                           "knn_method", "neighborhood_passes",
                           "window_blocks", "knn_kmode", "knn_d2mode",
-                          "fuse_neighborhood", "normals_merge_passes"):
+                          "fuse_neighborhood", "normals_merge_passes",
+                          "voxel_first_attrs"):
                 if name in ("remove_nans", "remove_infs"):
                     setattr(self, name, value)
                 engine_delta[name] = value

@@ -367,3 +367,35 @@ def test_settings_derive_compact_keys():
                               "roi_max": (40, 40, 5),
                               "voxel_compact_keys": False})
     assert not s.voxel_compact_keys
+
+
+def test_voxel_first_attrs_relaxation(rng):
+    """first_attrs=False (round 5, unstable fused-dedup sort): positions,
+    masks and segment means of non-duplicate data are IDENTICAL; only
+    which exact-duplicate copy donates attributes may differ."""
+    n = 1024
+    pts = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    pts[500:600] = pts[100:200]  # exact duplicates with different attrs
+    buf, _ = from_soa(
+        {
+            "positions": pts,
+            "intensity": rng.uniform(0, 255, n).astype(np.float32),
+            "ring": rng.integers(0, 16, n).astype(np.uint16),
+        },
+        capacity=n,
+    )
+    a = voxel_downsample(buf, 0.5, dedup_exact=True, first_attrs=True)
+    b = voxel_downsample(buf, 0.5, dedup_exact=True, first_attrs=False)
+    ma, mb = np.asarray(a.mask), np.asarray(b.mask)
+    np.testing.assert_array_equal(ma, mb)
+    pa = np.asarray(a.positions)[:, ma].T
+    pb = np.asarray(b.positions)[:, mb].T
+    # same voxel set; means may differ only at duplicate-containing voxels
+    # by ~1 ulp of summation order — compare sorted with tight tolerance
+    np.testing.assert_allclose(
+        pa[np.lexsort(pa.T)], pb[np.lexsort(pb.T)], rtol=0, atol=1e-5
+    )
+    # intensity may legitimately differ where duplicates disagree, but
+    # ring values must still come from SOME member of each voxel
+    # (sanity: value set per voxel): check global multiset bounds
+    assert np.asarray(b.attributes["ring"])[mb].max() < 16

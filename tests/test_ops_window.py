@@ -850,3 +850,48 @@ def test_sharded_window_kwargs_preserve_tuple():
 
     s = PipelineSettings(window_blocks=(1, 0), neighborhood_passes=2)
     assert _window_kwargs(s)["window_blocks"] == (1, 0)
+
+
+def test_oct_encode_roundtrip(rng):
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        _oct_decode,
+        _oct_encode,
+    )
+
+    v = rng.normal(size=(3, 4096)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=0, keepdims=True)
+    u, w = _oct_encode(jnp.asarray(v[0]), jnp.asarray(v[1]), jnp.asarray(v[2]))
+    x, y, z = _oct_decode(u, w)
+    back = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)])
+    np.testing.assert_allclose((back * v).sum(0), 1.0, atol=1e-6)
+    # the (0,0,1) fallback of degenerate normals roundtrips exactly
+    u0, w0 = _oct_encode(jnp.zeros(4), jnp.zeros(4), jnp.ones(4))
+    x0, y0, z0 = _oct_decode(u0, w0)
+    np.testing.assert_array_equal(np.asarray(z0), 1.0)
+
+
+def test_carry_count_false_same_stats(rng):
+    """carry_count=False (round 5): identical means/normals, count zeroed."""
+    from autodriver_pointcloud_preprocessor_tpu.core import from_soa
+    from autodriver_pointcloud_preprocessor_tpu.ops.window import (
+        fused_neighborhood_stats_reordered,
+    )
+
+    pts = rng.normal(size=(1500, 3)).astype(np.float32) * 2.0
+    buf, _ = from_soa({"positions": pts}, capacity=2048)
+    outs = {}
+    for cc in (True, False):
+        outs[cc] = fused_neighborhood_stats_reordered(
+            buf.positions, buf.mask, {}, k=8, radius=0.5,
+            window_blocks=(1, 0), passes=2, d2mode="fast3", kmode="csel",
+            backend="pallas_interpret", entries_merge=False, carry_count=cc,
+        )
+    m1, m2 = np.asarray(outs[True][1]), np.asarray(outs[False][1])
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][3]), np.asarray(outs[False][3])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][4]), np.asarray(outs[False][4])
+    )
+    assert (np.asarray(outs[False][5]) == 0).all()  # count zeroed, documented
