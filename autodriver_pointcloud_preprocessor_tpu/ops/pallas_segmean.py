@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["masked_compact_pallas", "segmented_sums_pallas"]
 
 _BLK = 512
+_FORCE_SUB = None  # profiling hook: force the sub-blocks-per-step choice
 
 
 def _dot3_exact(a, b01, dims):
@@ -274,9 +275,16 @@ def _call_batched(values, run_start, interpret, compact=False):
     """(batch, C, N), (batch, N) -> (batch, C, N) per-run sums."""
     batch, c, n = values.shape
     assert c <= 8 and n % _BLK == 0, (c, n)
-    # 4 sub-blocks per grid step when the capacity allows (all production
-    # capacities are 2048-multiples); 512-wide steps otherwise.
-    sub = 4 if n % (4 * _BLK) == 0 else 1
+    # Sub-blocks per grid step (ablated on real chip, tools/profile_r5_sub.py
+    # round 5): compact mode wins at 8 (0.185 vs 0.199 ms @131k — fewer grid
+    # steps amortize the per-step overhead; no pending-tile work to grow),
+    # segmean at 4 (0.095 vs 0.114 — the carry/pending update tax grows with
+    # the step width). 512-wide steps when the capacity is not a multiple.
+    # _FORCE_SUB is the ablation hook.
+    best = 8 if compact else 4
+    sub = next(
+        (s for s in (_FORCE_SUB, best, 4, 1) if s and n % (s * _BLK) == 0), 1
+    )
     vals = values.astype(jnp.float32)
     # Mosaic DMA slices must be 8-aligned on the second-minor dim; the MXU
     # pads to 8 sublanes anyway, so run the kernel at 8 channels and slice

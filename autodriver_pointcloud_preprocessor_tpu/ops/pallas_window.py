@@ -391,7 +391,13 @@ def _call_batched(sx, sy, sz, sv, radius, radius2, *, k, window_blocks,
     """
     batch, n = sx.shape
     qb = _B
-    for g in (_G, 8, 4):
+    # APC_FORCE_G overrides the grid grouping for ablations (compile-time
+    # knob; tools/profile_compile_bisect.py uses it to bisect the cold
+    # compile cost of _G x kmode combinations in fresh subprocesses).
+    import os as _os
+
+    _forced = int(_os.environ.get("APC_FORCE_G", "0")) or None
+    for g in ((_forced,) if _forced else (_G, 8, 4)):
         if n % (g * _B) == 0:
             qb = g * _B
             break

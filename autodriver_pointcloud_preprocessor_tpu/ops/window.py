@@ -412,6 +412,28 @@ def _oct_encode(nx, ny, nz):
     )
 
 
+def _oct_pack(u, v):
+    """Octahedral (u, v) -> ONE int32 re-sort payload row (round 5).
+
+    16-bit quantization per component: worst-case normal deflection
+    ~2^-15 rad (~0.002 deg) — three orders below the window-PCA noise
+    floor, measured invisible on the 10-degree normal-agreement metric.
+    Halves the merge-free normal payload (2 f32 rows -> 1 int32 row,
+    ~0.013 ms/re-sort at 51k; payload rows are permuted, not compared,
+    so the int row rides the variadic sort unchanged)."""
+    qu = jnp.clip(jnp.round((u * 0.5 + 0.5) * 65535.0), 0.0, 65535.0)
+    qv = jnp.clip(jnp.round((v * 0.5 + 0.5) * 65535.0), 0.0, 65535.0)
+    return (qu.astype(jnp.int32) << 16) | qv.astype(jnp.int32)
+
+
+def _oct_unpack(p):
+    qu = (p >> 16) & 0xFFFF
+    qv = p & 0xFFFF
+    u = qu.astype(jnp.float32) * (2.0 / 65535.0) - 1.0
+    v = qv.astype(jnp.float32) * (2.0 / 65535.0) - 1.0
+    return u, v
+
+
 def _oct_decode(u, v):
     z = 1.0 - jnp.abs(u) - jnp.abs(v)
     down = z < 0
@@ -555,12 +577,12 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
     drop_count = not entries_merge and not carry_count
     if not entries_merge:
         # solve the eigens NOW (pass-0 order); the OCTAHEDRAL-PACKED
-        # normal (2 rows, f32 roundtrip ~1e-7) rides the re-sorts
-        # instead of 6 entry rows
+        # normal (ONE int32 row, 16-bit per component — _oct_pack) rides
+        # the re-sorts instead of 6 entry rows
         nrm0 = _normals_from_entries(
             ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
         )
-        stat_n = _oct_encode(nrm0[0], nrm0[1], nrm0[2])
+        stat_n = (_oct_pack(*_oct_encode(nrm0[0], nrm0[1], nrm0[2])),)
     for p_i in range(1, passes):
         ent_rows = ent if entries_merge else stat_n
         cnt_rows = () if drop_count else (count,)
@@ -576,7 +598,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         mean = stat_rows[0]
         nc = 0 if drop_count else 1
         count = mean * 0.0 if drop_count else stat_rows[1]
-        ne = 6 if entries_merge else 2
+        ne = 6 if entries_merge else 1
         cnt2 = stat_rows[1 + nc + ne] if use_r2 else None
         m2, c2, ent2, cnt2b = one_pass(
             sx, sy, sz, sv, p_i % 2, wbs[p_i], moments=entries_merge
@@ -592,7 +614,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         else:
             # normals/count stay pass-0's (consistent pair); the kNN mean
             # and the radius count still merge across passes
-            stat_n = stat_rows[1 + nc : 3 + nc]
+            stat_n = stat_rows[1 + nc : 2 + nc]
         if use_r2:
             cnt2 = jnp.maximum(cnt2, cnt2b)
     if entries_merge:
@@ -600,7 +622,7 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
             ent[0], ent[1], ent[2], ent[3], ent[4], ent[5], count
         )
     else:
-        nrm = _oct_decode(stat_n[0], stat_n[1])
+        nrm = _oct_decode(*_oct_unpack(stat_n[0]))
     return (sx, sy, sz, sv, tuple(carry), mean, count,
             nrm[0], nrm[1], nrm[2], cnt2)
 

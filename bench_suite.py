@@ -402,6 +402,10 @@ def config6_merged_1m(reps):
         ground_before_voxel=True,
         voxel_compact_keys="wide",
         post_downsample_capacity=409_600,
+        # round 5: stream-compact the post-ground cloud (~400k live of 1M)
+        # before the dominant 1M voxel sort — the sort runs at half
+        # capacity for one masked-compact kernel pass
+        pre_voxel_compact_capacity=524_288,
     )
     from autodriver_pointcloud_preprocessor_tpu.models.pipeline import (
         pipeline_runner,
