@@ -145,6 +145,14 @@ class PipelineSettings:
     voxel_first_attrs: bool = True
     ransac_n: int = 5
     num_iterations: int = 100
+    #: RANSAC hypothesis voting subsample (0 = vote on every point): when
+    #: > 0, the [N, H] vote pass scores hypotheses on a systematic strided
+    #: subsample of ~this many slots; the winner's terminal refit and the
+    #: returned inlier mask still use every live point (ops/ground.py
+    #: ``score_subsample`` — binomial selection noise ~0.5pp at 16384).
+    #: Leave 0 on TPU: the strided slice relayout makes it a measured
+    #: pessimization there (PERF_NOTES round 5).
+    ground_score_subsample: int = 0
     knn_method: str = "auto"  # 'auto' | 'exact' | 'window'
     #: debug flag: False forces XLA kernel variants (no pallas_call).
     #: Batched/vmapped execution keeps the Pallas path — the window kernel
@@ -417,6 +425,7 @@ def stage_functions(settings: PipelineSettings, separate_stages: bool = False):
                     settings.ransac_n,
                     settings.num_iterations,
                     live_prefix=live_prefix,
+                    score_subsample=settings.ground_score_subsample,
                 )
                 return b, plane
 
@@ -818,6 +827,9 @@ def settings_from_config(cfg: Dict[str, object]) -> PipelineSettings:
         voxel_first_attrs=bool(cfg.get("voxel_first_attrs", True)),
         ransac_n=int(cfg.get("remove_ground.ransac_number", 5)),
         num_iterations=int(cfg.get("remove_ground.num_iterations", 100)),
+        ground_score_subsample=int(
+            cfg.get("remove_ground.score_subsample", 0)
+        ),
         knn_method=str(cfg.get("knn_method", "auto")),
         neighborhood_passes=int(cfg.get("neighborhood_passes", 2)),
         window_blocks=_parse_window_blocks(cfg.get("window_blocks", 1)),

@@ -54,6 +54,10 @@ PRODUCTION_128K_CONFIG: dict = {
     "remove_ground.num_iterations": 64,
     "remove_ground.distance_threshold": 0.12,
     "remove_ground.before_voxel": True,
+    # remove_ground.score_subsample stays 0 (full vote): measured a
+    # PESSIMIZATION here — the strided vote slice costs a relayout that
+    # dwarfs the saved [N, H] pass (0.058 ms full vote vs 0.553 ms at
+    # sub=16384; PERF_NOTES round 5, tools/profile_r5_ground.py).
     "downsample.max_points": 51_200,
     # round 5: stream-compact the post-ground cloud (live ~51k of 131k)
     # into a 65536 bucket before the voxel sort — the sort and segmean are

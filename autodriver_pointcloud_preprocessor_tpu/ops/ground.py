@@ -73,6 +73,7 @@ def segment_plane(
     num_iterations: int = 100,
     probability: float = 0.99,  # advisory; see module docstring
     live_prefix: bool = False,
+    score_subsample: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Find the dominant plane among live points.
 
@@ -89,6 +90,20 @@ def segment_plane(
             bit-identical to the general path on genuinely compacted
             input; on non-compacted input the promise is WRONG (dead
             slots get sampled and score ~0 votes).
+        score_subsample: static; when > 0 and smaller than the capacity,
+            the HYPOTHESIS VOTE (the [N, H] distance pass) runs on a
+            systematic strided subsample of ~this many slots instead of
+            every point — an unbiased inlier-FRACTION estimate whose
+            binomial noise at 16384 samples is ~0.5pp, well under the
+            separation between competing planes. Winner selection only;
+            the terminal refit and the returned inlier mask always use
+            every live point, so the output plane is still polished on
+            the full cloud. NOTE: on the TPU backend this is a measured
+            PESSIMIZATION at 131k/H=64 (0.058 -> 0.553 ms — the strided
+            slice relayout costs far more than the saved vote pass;
+            PERF_NOTES round 5, tools/profile_r5_ground.py); it exists
+            for hosts where the [N, H] pass dominates (CPU meshes,
+            larger H).
     Returns:
         (plane float32[4] = [nx, ny, nz, d] with unit normal,
          inlier_mask bool[capacity] over live points).
@@ -121,10 +136,20 @@ def segment_plane(
         x[sample_idx], yy[sample_idx], zz[sample_idx]
     )
 
-    dist = _plane_distances(x, yy, zz, normals[0], normals[1], normals[2], ds)
     thresh = jnp.asarray(distance_threshold, x.dtype)
+    if score_subsample and score_subsample < buf.capacity:
+        # systematic strided subsample for the vote only (see docstring);
+        # stride sampling over sensor-stream (or curve) order covers every
+        # ring/region, and the static stride keeps it a strided slice —
+        # no gather
+        stride = buf.capacity // score_subsample
+        vx, vy, vz = x[::stride], yy[::stride], zz[::stride]
+        vm = buf.mask[::stride]
+    else:
+        vx, vy, vz, vm = x, yy, zz, buf.mask
+    dist = _plane_distances(vx, vy, vz, normals[0], normals[1], normals[2], ds)
     votes = jnp.sum(
-        (dist <= thresh) & buf.mask[:, None], axis=0, dtype=jnp.int32
+        (dist <= thresh) & vm[:, None], axis=0, dtype=jnp.int32
     )  # [H]
     best = jnp.argmax(votes)
 
@@ -158,7 +183,11 @@ def segment_plane(
     inlier_mask = (final_dist <= thresh) & buf.mask
 
     refined_votes = jnp.sum(inlier_mask, dtype=jnp.int32)
-    use_refined = refined_votes >= votes[best]
+    # full-N inlier count of the winning hypothesis (== votes[best] when
+    # the vote ran on every point; the subsampled vote is selection-only,
+    # so the refit comparison must not mix sample scales)
+    best_votes_full = jnp.sum(best_inliers, dtype=jnp.int32)
+    use_refined = refined_votes >= best_votes_full
     plane = jnp.where(
         use_refined,
         jnp.stack([nx, ny, nz, d_ref]),
@@ -176,15 +205,16 @@ def remove_ground(
     num_iterations: int = 100,
     probability: float = 0.99,
     live_prefix: bool = False,
+    score_subsample: int = 0,
 ) -> Tuple[ScanBuffer, jax.Array]:
     """Mask out the dominant plane's inliers (keep the complement).
 
     Matches the node semantics at reference pointcloud_preprocessor.py:542
     (``select_by_index(inliers, invert=True)``). Returns (buffer, plane).
-    ``live_prefix``: see ``segment_plane``.
+    ``live_prefix`` / ``score_subsample``: see ``segment_plane``.
     """
     plane, inliers = segment_plane(
         buf, key, distance_threshold, ransac_n, num_iterations, probability,
-        live_prefix=live_prefix,
+        live_prefix=live_prefix, score_subsample=score_subsample,
     )
     return buf.with_mask(jnp.logical_not(inliers)), plane

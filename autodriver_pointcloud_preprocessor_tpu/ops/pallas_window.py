@@ -294,7 +294,15 @@ def _kernel(
                 jnp.where(validd, d2, 0.0), axis=0, keepdims=True
             )
             if kmode == "csel":
-                iters = _CSEL_R
+                # wb=0 (sub_window == _B): the own block IS the whole
+                # window, so thr_own is already the EXACT window k-th and
+                # the refinement bisections are provable no-ops — for
+                # non-sparse queries count(d2cmp <= mid) < k for any
+                # mid < thr_own (hi never moves), and for sparse queries
+                # the correction is inactive (count < k => extra = 0), so
+                # `lo`'s movement is unobservable. Skip them: bit-identical
+                # output, _CSEL_R fewer 128-row count passes per sub-block.
+                iters = 0 if sub_window == _B else _CSEL_R
                 d2i = pltpu.bitcast(d2, jnp.int32)
                 d2cmp = pltpu.bitcast(d2i & ~2047, jnp.float32)
                 packed_d = pltpu.bitcast((d2i & ~2047) | rows, jnp.float32)

@@ -319,7 +319,7 @@ def default_backend() -> str:
 
 
 def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True,
-                 bounds=None):
+                 bounds=None, stable=True):
     """Curve-sort x/y/z/valid (+extra rows) via ONE variadic lax.sort.
 
     Gather-free: the sort carries every payload row alongside the key
@@ -330,6 +330,14 @@ def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True,
     unsort (the reordering fused path). The validity row is derived from
     the key (invalid rows carry the hilbert sentinel) instead of being
     carried.
+
+    ``stable=False`` skips the implicit iota tiebreak (~20% of sort cost,
+    PERF_NOTES round 3): equal-key points land in a deterministic but
+    network-dependent order. Safe when most keys are distinct — the fused
+    re-sorts run post-voxel, where every point is a distinct voxel mean
+    and the curve cell (~span/1024) is about the voxel size, so ties are
+    a boundary-collision sliver (quality delta measured in PERF_NOTES
+    round 5).
     """
     perm = _PASS_PERMS[pass_idx % len(_PASS_PERMS)]
     permuted = jnp.stack(
@@ -345,7 +353,7 @@ def _sorted_rows(positions, mask, pass_idx, extra=(), with_idx=True,
     out = jax.lax.sort(
         (codes, positions[0], positions[1], positions[2], *idx_rows, *extra),
         num_keys=1,
-        is_stable=True,
+        is_stable=stable,
     )
     sv = out[0] < jnp.int32(0x7FFFFFFF)  # key sentinel == invalid
     return (*out[1:4], sv, *out[4:])  # sx, sy, sz, sv[, sidx], *extra
@@ -589,9 +597,13 @@ def _fused_passes(positions, mask, carry, *, k, radius, window_blocks,
         stat_rows = (mean, *cnt_rows, *ent_rows) + (
             (cnt2,) if use_r2 else ()
         )
+        # unstable re-sort (round 5): post-voxel points are distinct voxel
+        # means, curve cell ~= voxel size, so key ties are a boundary
+        # sliver — skips the stable tiebreak tax (~20% of the sort)
         sx, sy, sz, sv, *rest = _sorted_rows(
             jnp.stack([sx, sy, sz]), sv, p_i,
             extra=(*carry, *stat_rows), with_idx=False, bounds=bounds,
+            stable=False,
         )
         ns = len(stat_rows)
         carry, stat_rows = rest[:-ns], rest[-ns:]

@@ -342,9 +342,18 @@ def _sharded_normals(buf, settings, params, axis_name, halo, method):
 
 
 def _sharded_ground(
-    buf, key, distance_threshold, ransac_n, num_iterations, axis_name
+    buf, key, distance_threshold, ransac_n, num_iterations, axis_name,
+    score_subsample=0,
 ):
-    """Distributed batched RANSAC: local proposals, global votes + refit."""
+    """Distributed batched RANSAC: local proposals, global votes + refit.
+
+    ``score_subsample`` mirrors ops/ground.py: when > 0 the [N, H] vote
+    matrix is computed on a systematic strided subsample of ~that many
+    slots GLOBALLY (each shard strides its local slab by the same
+    factor); the winner's refit and the returned mask stay full-N, and
+    the refit-vs-winner comparison is recomputed full-N so sample scales
+    never mix.
+    """
     n_shards = jax.lax.axis_size(axis_name)
     shard_id = jax.lax.axis_index(axis_name)
     h_local = max(num_iterations // n_shards, 1)
@@ -370,15 +379,21 @@ def _sharded_ground(
     planes = jax.lax.all_gather(planes_local, axis_name, axis=1, tiled=True)
     nx, ny, nz, d = planes[0], planes[1], planes[2], planes[3]  # [H]
 
+    n_global = buf.capacity * n_shards
+    if score_subsample and score_subsample < n_global:
+        stride = n_global // score_subsample
+        vx, vy, vz, vm = x[::stride], y[::stride], z[::stride], buf.mask[::stride]
+    else:
+        vx, vy, vz, vm = x, y, z, buf.mask
     dist = jnp.abs(
-        x[:, None] * nx[None, :]
-        + y[:, None] * ny[None, :]
-        + z[:, None] * nz[None, :]
+        vx[:, None] * nx[None, :]
+        + vy[:, None] * ny[None, :]
+        + vz[:, None] * nz[None, :]
         + d[None, :]
     )
     thresh = jnp.asarray(distance_threshold, jnp.float32)
     votes_local = jnp.sum(
-        (dist <= thresh) & buf.mask[:, None], axis=0, dtype=jnp.int32
+        (dist <= thresh) & vm[:, None], axis=0, dtype=jnp.int32
     )
     votes = jax.lax.psum(votes_local, axis_name)  # identical on all shards
     best = jnp.argmax(votes)
@@ -410,7 +425,12 @@ def _sharded_ground(
     inliers = (final_dist <= thresh) & buf.mask
 
     refined_votes = jax.lax.psum(jnp.sum(inliers, dtype=jnp.int32), axis_name)
-    use_refined = refined_votes >= votes[best]
+    # full-N inlier count of the winner (== votes[best] only when the vote
+    # ran on every point; under subsampling the scales must not mix)
+    best_votes_full = jax.lax.psum(
+        jnp.sum(best_in, dtype=jnp.int32), axis_name
+    )
+    use_refined = refined_votes >= best_votes_full
     plane = jnp.where(
         use_refined,
         jnp.stack([rnx, rny, rnz, rd]),
@@ -481,6 +501,7 @@ def make_local_run(
                 settings.ransac_n,
                 settings.num_iterations,
                 axis_name,
+                score_subsample=settings.ground_score_subsample,
             )
 
         if ground_raw:

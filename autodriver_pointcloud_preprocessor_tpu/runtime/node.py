@@ -115,6 +115,9 @@ PARAMETER_DEFAULTS = [
     ("remove_ground.ransac_number", 5),
     ("remove_ground.num_iterations", 100),
     ("remove_ground.probability", 0.99),
+    # TPU knob: RANSAC hypothesis vote on a strided subsample (0 = every
+    # point); winner refit + inlier mask always full-N (ops/ground.py)
+    ("remove_ground.score_subsample", 0),
     # declared-but-DEAD in the reference (:184-185, :985-988); real here:
     # ground_plane is the live traced plane for remove_ground.method=
     # 'height', and reconfiguring use_height switches the ground method
@@ -166,7 +169,7 @@ _ENGINE_KEYS = {
     "estimate_normals.max_neighbors",
     "remove_ground", "remove_ground.distance_threshold",
     "remove_ground.ransac_number", "remove_ground.num_iterations",
-    "remove_ground.probability",
+    "remove_ground.probability", "remove_ground.score_subsample",
     "ground_plane",
     "offset_pointcloud_matrix", "offset_pointcloud_frame",
     "knn_method", "neighborhood_passes", "window_blocks",
@@ -701,6 +704,7 @@ class PointcloudPreprocessorNode:
                           "remove_ground.ransac_number",
                           "remove_ground.num_iterations",
                           "remove_ground.probability",
+                          "remove_ground.score_subsample",
                           "knn_method", "neighborhood_passes",
                           "window_blocks", "knn_kmode", "knn_d2mode",
                           "fuse_neighborhood", "normals_merge_passes",

@@ -124,6 +124,29 @@ def test_segment_plane_reproducible(rng):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
+def test_segment_plane_score_subsample(rng):
+    # Subsampled hypothesis voting (round 5): the vote runs on a strided
+    # subsample but the winner's refit + returned inlier mask are full-N.
+    # On a scene with a dominant plane the subsampled vote must pick the
+    # same plane; mask jaccard vs the full vote >= 0.99.
+    pts, n_ground = _ground_scene(rng, n_ground=3000, n_obj=800)
+    buf, _ = _buf(pts)
+    key = jax.random.PRNGKey(7)
+    p_full, m_full = segment_plane(buf, key, 0.1, 3, 64)
+    p_sub, m_sub = segment_plane(buf, key, 0.1, 3, 64, score_subsample=512)
+    m_full = np.asarray(m_full)
+    m_sub = np.asarray(m_sub)
+    assert abs(np.asarray(p_sub)[2]) > 0.99
+    jac = (m_full & m_sub).sum() / max((m_full | m_sub).sum(), 1)
+    assert jac >= 0.99
+    # subsample >= capacity: bit-identical to the full vote (no-op path)
+    p_id, m_id = segment_plane(
+        buf, key, 0.1, 3, 64, score_subsample=10 * buf.capacity
+    )
+    np.testing.assert_array_equal(np.asarray(p_id), np.asarray(p_full))
+    np.testing.assert_array_equal(np.asarray(m_id), m_full)
+
+
 def test_voxel_dedup_exact_matches_dedup_then_voxel(rng):
     # fused dedup (dedup_exact=True) must equal remove_duplicates followed
     # by voxel_downsample — positions, counts, and averaged float attrs
