@@ -48,7 +48,15 @@ def device_time_ms(fn, *args, iters: int = 32, reps: int = 5) -> float:
     @jax.jit
     def chain(a0, *rst):
         def body(i, acc):
-            a2 = a0 * (1.0 + acc * 1e-30)
+            # perturb every float leaf (works for arrays AND pytrees like
+            # ScanBuffer) so each iteration depends on the previous one
+            scale = 1.0 + acc * 1e-30
+            a2 = jax.tree_util.tree_map(
+                lambda l: l * scale
+                if jnp.issubdtype(l.dtype, jnp.floating)
+                else l,
+                a0,
+            )
             return acc + _consume(fn(a2, *rst)) * 1e-30
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
